@@ -1,0 +1,7 @@
+from .baseline import run_mice_baseline
+from .low import run_mice_low
+from .high import run_mice_high
+from .partition import Partitions, build_partitions, init_fill, observed_weights
+
+__all__ = ["run_mice_baseline", "run_mice_low", "run_mice_high",
+           "Partitions", "build_partitions", "init_fill", "observed_weights"]

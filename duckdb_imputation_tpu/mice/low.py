@@ -1,0 +1,107 @@
+"""MICE low-missing driver — delta-aggregate retraining.
+
+Mirrors `run_MICE_low` (/root/reference/imputation/algorithms/
+imputation_low.cpp:9-306): one FULL triple over the whole (filled) table up
+front (:42-73); then per column
+    delta  = triple over the rows where the column is null      (:85-110)
+    train  = full − delta          (client-side subtract_triple)
+    …train, impute the dirty rows…
+    delta' = triple over the same rows with the updated values
+    full   = train + delta'                                      (:188-194)
+so each retrain pays O(dirty rows) instead of O(n). The dirty-row sets are
+static (null positions never move), so they are gathered once on the host
+(partition.build_partitions) and each delta aggregates only that subset.
+
+Algebraic invariant (tested): train == the baseline driver's full rescan over
+the observed rows, up to f32 accumulation order.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import lda_predict, lda_train, linreg_predict, linreg_train
+from ..ring.sum import sum_to_triple
+from ..ring.triple import triple_add, triple_sub
+from ..table.table import Table
+from .partition import build_partitions, init_fill
+from ..utils.profiling import PhaseTimer
+
+
+def _delta(t: Table, idx: np.ndarray, aggregate):
+    num = t.num_data[jnp.asarray(idx)] if len(idx) else None
+    codes = t.cat_codes[jnp.asarray(idx)] if len(idx) else None
+    if len(idx) == 0:
+        from ..ring.triple import Triple
+        return Triple.zeros(t.schema)
+    return aggregate(num, codes, None, schema=t.schema)
+
+
+def run_mice_low(t: Table, num_null_cols=None, cat_null_cols=None,
+                 iters: int = 5, *, lda_shrinkage: float = 0.001,
+                 linreg_step: float = 0.001, linreg_lambda: float = 0.0,
+                 linreg_iters: int = 10000, noise: bool = True, seed: int = 0,
+                 timer: PhaseTimer | None = None,
+                 aggregate=sum_to_triple) -> Table:
+    timer = timer or PhaseTimer()
+    with timer.phase("prepare"):
+        t = init_fill(t)
+        parts = build_partitions(t)
+        schema = t.schema
+        if num_null_cols is None:
+            num_null_cols = [j for j in range(schema.num_cols)
+                             if len(parts.num_dirty_idx[j])]
+        if cat_null_cols is None:
+            cat_null_cols = [j for j in range(schema.cat_cols)
+                             if len(parts.cat_dirty_idx[j])]
+    with timer.phase("cofactor_full"):
+        full = aggregate(t.num_data, t.cat_codes, None, schema=schema)
+    key = jax.random.PRNGKey(seed)
+
+    for it in range(iters):
+        for col in cat_null_cols:
+            idx = parts.cat_dirty_idx[col]
+            with timer.phase("cofactor_delta"):
+                delta = _delta(t, idx, aggregate)
+                train = triple_sub(full, delta)
+            with timer.phase("train"):
+                params = lda_train(train, schema, label=col,
+                                   shrinkage=lda_shrinkage)
+            with timer.phase("impute"):
+                other = [j for j in range(schema.cat_cols) if j != col]
+                jdx = jnp.asarray(idx)
+                codes = t.cat_codes[jdx][:, other] if other else None
+                pred_idx = lda_predict(params, t.num_data[jdx], codes)
+                t = t.with_cat_col(
+                    col,
+                    t.cat_codes[:, col].at[jdx].set(
+                        pred_idx.astype(jnp.int32)), only_null=False)
+            with timer.phase("cofactor_readd"):
+                full = triple_add(train, _delta(t, idx, aggregate))
+
+        for col in num_null_cols:
+            idx = parts.num_dirty_idx[col]
+            with timer.phase("cofactor_delta"):
+                delta = _delta(t, idx, aggregate)
+                train = triple_sub(full, delta)
+            with timer.phase("train"):
+                params = linreg_train(train, schema, label=col,
+                                      step_size=linreg_step,
+                                      lam=linreg_lambda,
+                                      max_iters=linreg_iters,
+                                      compute_variance=noise)
+            with timer.phase("impute"):
+                keep = [j for j in range(schema.num_cols) if j != col]
+                jdx = jnp.asarray(idx)
+                key, sub = jax.random.split(key)
+                pred = linreg_predict(
+                    params, t.num_data[jdx][:, keep],
+                    t.cat_codes[jdx] if schema.cat_cols else None,
+                    add_noise=noise, key=sub)
+                t = t.with_num_col(
+                    col, t.num_data[:, col].at[jdx].set(pred),
+                    only_null=False)
+            with timer.phase("cofactor_readd"):
+                full = triple_add(train, _delta(t, idx, aggregate))
+    return t

@@ -1,0 +1,13 @@
+from .linear_regression import LinregParams, linreg_predict, linreg_train
+from .lda import LDAParams, lda_predict, lda_train
+from .qda import QDAParams, qda_predict, qda_train
+from .naive_bayes import NBParams, nb_predict, nb_train
+from .sigma import build_sigma, class_sums, select_vocab, standardize_sigma
+
+__all__ = [
+    "LinregParams", "linreg_predict", "linreg_train",
+    "LDAParams", "lda_predict", "lda_train",
+    "QDAParams", "qda_predict", "qda_train",
+    "NBParams", "nb_predict", "nb_train",
+    "build_sigma", "class_sums", "select_vocab", "standardize_sigma",
+]

@@ -1,17 +1,25 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
 multi-chip sharding is exercised without TPU hardware (the reference has no
-distributed tests at all; see SURVEY.md §4)."""
+distributed tests at all; see SURVEY.md §4).
+
+NOTE: this environment pins JAX_PLATFORMS=axon (TPU tunnel) and the env var
+set from Python is ignored, so we must force CPU through jax.config."""
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
 
 
 @pytest.fixture
