@@ -35,8 +35,8 @@ from ..utils.profiling import PhaseTimer
 def _num_feature_split(t: Table, label: int):
     """Feature columns for a numeric target: all num cols except label, then
     all cats (imputation_base.cpp:121-128 column order)."""
-    keep = [j for j in range(t.schema.num_cols) if j != label]
-    return t.num_data[:, keep], t.cat_codes
+    keep = jnp.asarray([j for j in range(t.schema.num_cols) if j != label])
+    return t.num_data[keep], t.cat_codes
 
 
 def run_mice_baseline(t: Table, num_null_cols=None, cat_null_cols=None,
@@ -57,10 +57,10 @@ def run_mice_baseline(t: Table, num_null_cols=None, cat_null_cols=None,
         schema = t.schema
         if num_null_cols is None:
             num_null_cols = [j for j in range(schema.num_cols)
-                             if bool(np.asarray(t.num_null[:, j]).any())]
+                             if bool(np.asarray(t.num_null[j]).any())]
         if cat_null_cols is None:
             cat_null_cols = [j for j in range(schema.cat_cols)
-                             if bool(np.asarray(t.cat_null[:, j]).any())]
+                             if bool(np.asarray(t.cat_null[j]).any())]
     key = jax.random.PRNGKey(seed)
 
     for it in range(iters):
@@ -74,7 +74,7 @@ def run_mice_baseline(t: Table, num_null_cols=None, cat_null_cols=None,
                                    shrinkage=lda_shrinkage)
             with timer.phase("impute"):
                 other = [j for j in range(schema.cat_cols) if j != col]
-                codes = t.cat_codes[:, other] if other else None
+                codes = t.cat_codes[jnp.asarray(other)] if other else None
                 pred_idx = lda_predict(params, t.num_data, codes)
                 t = t.with_cat_col(col, pred_idx.astype(jnp.int32))
 

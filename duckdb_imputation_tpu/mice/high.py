@@ -33,7 +33,7 @@ def _subset_triple(t: Table, idx: np.ndarray, aggregate):
     if len(idx) == 0:
         return Triple.zeros(t.schema)
     jdx = jnp.asarray(idx)
-    return aggregate(t.num_data[jdx], t.cat_codes[jdx], None,
+    return aggregate(t.num_data[:, jdx], t.cat_codes[:, jdx], None,
                      schema=t.schema)
 
 
@@ -59,10 +59,10 @@ def run_mice_high(t: Table, num_null_cols=None, cat_null_cols=None,
                              if len(parts.cat_dirty_idx[j])]
         # rows that are dirty overall but observed in column j
         num_obs_dirty = tuple(
-            np.nonzero(dirty_rows & ~nmask[:, j])[0]
+            np.nonzero(dirty_rows & ~nmask[j])[0]
             for j in range(schema.num_cols))
         cat_obs_dirty = tuple(
-            np.nonzero(dirty_rows & ~cmask[:, j])[0]
+            np.nonzero(dirty_rows & ~cmask[j])[0]
             for j in range(schema.cat_cols))
     with timer.phase("cofactor_static"):
         static = _subset_triple(t, parts.complete_idx, aggregate)
@@ -80,10 +80,11 @@ def run_mice_high(t: Table, num_null_cols=None, cat_null_cols=None,
                 idx = parts.cat_dirty_idx[col]
                 other = [j for j in range(schema.cat_cols) if j != col]
                 jdx = jnp.asarray(idx)
-                codes = t.cat_codes[jdx][:, other] if other else None
-                pred_idx = lda_predict(params, t.num_data[jdx], codes)
+                codes = (t.cat_codes[jnp.asarray(other)][:, jdx]
+                         if other else None)
+                pred_idx = lda_predict(params, t.num_data[:, jdx], codes)
                 t = t.with_cat_col(
-                    col, t.cat_codes[:, col].at[jdx].set(
+                    col, t.cat_codes[col].at[jdx].set(
                         pred_idx.astype(jnp.int32)), only_null=False)
 
         for col in num_null_cols:
@@ -98,14 +99,15 @@ def run_mice_high(t: Table, num_null_cols=None, cat_null_cols=None,
                                       compute_variance=noise)
             with timer.phase("impute"):
                 idx = parts.num_dirty_idx[col]
-                keep = [j for j in range(schema.num_cols) if j != col]
+                keep = jnp.asarray(
+                    [j for j in range(schema.num_cols) if j != col])
                 jdx = jnp.asarray(idx)
                 key, sub = jax.random.split(key)
                 pred = linreg_predict(
-                    params, t.num_data[jdx][:, keep],
-                    t.cat_codes[jdx] if schema.cat_cols else None,
+                    params, t.num_data[keep][:, jdx],
+                    t.cat_codes[:, jdx] if schema.cat_cols else None,
                     add_noise=noise, key=sub)
                 t = t.with_num_col(
-                    col, t.num_data[:, col].at[jdx].set(pred),
+                    col, t.num_data[col].at[jdx].set(pred),
                     only_null=False)
     return t

@@ -30,12 +30,12 @@ from ..utils.profiling import PhaseTimer
 
 
 def _delta(t: Table, idx: np.ndarray, aggregate):
-    num = t.num_data[jnp.asarray(idx)] if len(idx) else None
-    codes = t.cat_codes[jnp.asarray(idx)] if len(idx) else None
     if len(idx) == 0:
         from ..ring.triple import Triple
         return Triple.zeros(t.schema)
-    return aggregate(num, codes, None, schema=t.schema)
+    jdx = jnp.asarray(idx)
+    return aggregate(t.num_data[:, jdx], t.cat_codes[:, jdx], None,
+                     schema=t.schema)
 
 
 def run_mice_low(t: Table, num_null_cols=None, cat_null_cols=None,
@@ -71,11 +71,12 @@ def run_mice_low(t: Table, num_null_cols=None, cat_null_cols=None,
             with timer.phase("impute"):
                 other = [j for j in range(schema.cat_cols) if j != col]
                 jdx = jnp.asarray(idx)
-                codes = t.cat_codes[jdx][:, other] if other else None
-                pred_idx = lda_predict(params, t.num_data[jdx], codes)
+                codes = (t.cat_codes[jnp.asarray(other)][:, jdx]
+                         if other else None)
+                pred_idx = lda_predict(params, t.num_data[:, jdx], codes)
                 t = t.with_cat_col(
                     col,
-                    t.cat_codes[:, col].at[jdx].set(
+                    t.cat_codes[col].at[jdx].set(
                         pred_idx.astype(jnp.int32)), only_null=False)
             with timer.phase("cofactor_readd"):
                 full = triple_add(train, _delta(t, idx, aggregate))
@@ -92,15 +93,16 @@ def run_mice_low(t: Table, num_null_cols=None, cat_null_cols=None,
                                       max_iters=linreg_iters,
                                       compute_variance=noise)
             with timer.phase("impute"):
-                keep = [j for j in range(schema.num_cols) if j != col]
+                keep = jnp.asarray(
+                    [j for j in range(schema.num_cols) if j != col])
                 jdx = jnp.asarray(idx)
                 key, sub = jax.random.split(key)
                 pred = linreg_predict(
-                    params, t.num_data[jdx][:, keep],
-                    t.cat_codes[jdx] if schema.cat_cols else None,
+                    params, t.num_data[keep][:, jdx],
+                    t.cat_codes[:, jdx] if schema.cat_cols else None,
                     add_noise=noise, key=sub)
                 t = t.with_num_col(
-                    col, t.num_data[:, col].at[jdx].set(pred),
+                    col, t.num_data[col].at[jdx].set(pred),
                     only_null=False)
             with timer.phase("cofactor_readd"):
                 full = triple_add(train, _delta(t, idx, aggregate))

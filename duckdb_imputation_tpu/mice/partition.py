@@ -32,19 +32,19 @@ def init_fill(t: Table) -> Table:
     (AVG/MODE fill of partition.cpp:42-57, init_baseline :671-719)."""
     num = np.asarray(t.num_data, np.float64)
     nmask = np.asarray(t.num_null)
-    for j in range(num.shape[1]):
-        obs = num[~nmask[:, j], j]
+    for j in range(num.shape[0]):
+        obs = num[j, ~nmask[j]]
         mean = float(obs.mean()) if len(obs) else 0.0
-        num[nmask[:, j], j] = mean
+        num[j, nmask[j]] = mean
     codes = np.asarray(t.cat_codes).copy()
     cmask = np.asarray(t.cat_null)
-    for j in range(codes.shape[1]):
-        obs = codes[~cmask[:, j], j]
+    for j in range(codes.shape[0]):
+        obs = codes[j, ~cmask[j]]
         if len(obs):
             mode = int(np.bincount(obs).argmax())
         else:
             mode = 0
-        codes[cmask[:, j], j] = mode
+        codes[j, cmask[j]] = mode
     return dataclasses.replace(
         t,
         num_data=jnp.asarray(num, jnp.float32),
@@ -64,14 +64,14 @@ class Partitions:
 def build_partitions(t: Table) -> Partitions:
     nmask = np.asarray(t.num_null)
     cmask = np.asarray(t.cat_null)
-    counts = nmask.sum(1) + cmask.sum(1)
-    total_cols = nmask.shape[1] + cmask.shape[1]
+    counts = nmask.sum(0) + cmask.sum(0)
+    total_cols = nmask.shape[0] + cmask.shape[0]
     return Partitions(
         null_counts=counts.astype(np.int32),
-        num_dirty_idx=tuple(np.nonzero(nmask[:, j])[0]
-                            for j in range(nmask.shape[1])),
-        cat_dirty_idx=tuple(np.nonzero(cmask[:, j])[0]
-                            for j in range(cmask.shape[1])),
+        num_dirty_idx=tuple(np.nonzero(nmask[j])[0]
+                            for j in range(nmask.shape[0])),
+        cat_dirty_idx=tuple(np.nonzero(cmask[j])[0]
+                            for j in range(cmask.shape[0])),
         complete_idx=np.nonzero(counts == 0)[0],
         all_null_idx=np.nonzero(counts == total_cols)[0],
     )
@@ -80,11 +80,11 @@ def build_partitions(t: Table) -> Partitions:
 def observed_weights(t: Table, kind: str, j: int) -> jax.Array:
     """w[n] = 1 where column j (numeric if kind=='num') is observed — the
     `WHERE <col>_IS_NULL IS FALSE` predicate (imputation_base.cpp:29,100)."""
-    mask = t.num_null[:, j] if kind == "num" else t.cat_null[:, j]
+    mask = t.num_null[j] if kind == "num" else t.cat_null[j]
     return 1.0 - mask.astype(jnp.float32)
 
 
 def gather_rows(t: Table, idx: np.ndarray) -> tuple[jax.Array, jax.Array]:
     """Gather (num_data, cat_codes) for a dirty-row subset."""
     idx = jnp.asarray(idx)
-    return t.num_data[idx], t.cat_codes[idx]
+    return t.num_data[:, idx], t.cat_codes[:, idx]

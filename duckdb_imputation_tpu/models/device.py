@@ -1,0 +1,141 @@
+"""Device-side (jittable) trainers — the on-TPU training path.
+
+The host trainers in linear_regression.py / lda.py are exact-parity f64
+LAPACK reproductions of the reference. These versions run the same
+algorithms as jit-compilable f32 programs so a FULL MICE column step
+(aggregate → train → predict → write-back) stays on-device under one jit,
+shardable over a mesh. The GD loop becomes a lax.while_loop with the nested
+backtracking loop intact (regression.cpp:179-238)."""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ring.triple import Triple, sigma_from_triple
+
+
+class _GDState(NamedTuple):
+    it: jnp.ndarray
+    step: jnp.ndarray
+    coeff: jnp.ndarray
+    grad: jnp.ndarray
+    prev_coeff: jnp.ndarray
+    prev_grad: jnp.ndarray
+    prev_error: jnp.ndarray
+    done: jnp.ndarray
+
+
+@functools.partial(jax.jit, static_argnames=("label", "max_iters"))
+def linreg_train_device(sigma: jax.Array, *, label: int,
+                        step_size: float = 0.001, lam: float = 0.0,
+                        max_iters: int = 1000) -> jax.Array:
+    """GD ridge regression on the Gram matrix, fully on device.
+
+    sigma: f32[P, P] (from sigma_from_triple). label: sigma row index of the
+    target (numeric col l -> l+1). Returns coeff f32[P] with coeff[label]
+    pinned to −1; the usual prediction uses all entries except label."""
+    p = sigma.shape[0]
+    n = sigma[0, 0]
+    lam = jnp.float32(lam)
+    label_onehot = jax.nn.one_hot(label, p, dtype=jnp.float32)
+
+    def gradient(theta):
+        g = sigma @ theta / jnp.maximum(n, 1.0)
+        return g * (1.0 - label_onehot)
+
+    def error(theta):
+        e = theta @ (sigma @ theta) / jnp.maximum(n, 1.0)
+        pn = theta[1:] @ theta[1:] - 1.0
+        return (e + lam * pn) / 2.0
+
+    coeff0 = -label_onehot
+    grad0 = gradient(coeff0)
+    upd0 = grad0 + lam * coeff0 * (1.0 - jax.nn.one_hot(0, p, dtype=jnp.float32))
+    first_gnorm = jnp.sqrt(jnp.maximum(upd0 @ upd0 - lam * lam, 0.0))
+
+    def body(s: _GDState) -> _GDState:
+        update = s.grad + lam * s.coeff
+        update = update.at[0].set(s.grad[0])
+        coeff = s.coeff - s.step * update
+        coeff = coeff * (1 - label_onehot) - label_onehot
+        gnorm2 = update @ update - lam * lam
+        dparam = s.step * jnp.sqrt(update @ update)
+
+        err = error(coeff)
+
+        def bt_cond(c):
+            step, coeff_b, err_b, dp, k = c
+            return jnp.logical_and(
+                err_b > s.prev_error - (step / 2) * gnorm2, k < 500)
+
+        def bt_body(c):
+            step, coeff_b, err_b, dp, k = c
+            step = step / 2
+            newp = s.coeff - step * update
+            dp = jnp.sqrt(jnp.sum((coeff_b - newp) ** 2))
+            coeff_b = newp * (1 - label_onehot) - label_onehot
+            return step, coeff_b, error(coeff_b), dp, k + 1
+
+        step, coeff, err, dparam, _ = jax.lax.while_loop(
+            bt_cond, bt_body,
+            (s.step, coeff, err, dparam, jnp.int32(0)))
+
+        gnorm = jnp.sqrt(jnp.maximum(gnorm2, 0.0))
+        done = jnp.logical_or(dparam < 1e-20,
+                              gnorm / (first_gnorm + 0.001) < 1e-8)
+        grad = gradient(coeff)
+
+        dtheta = coeff - s.coeff
+        dgrad = grad - s.grad
+        dss = dtheta @ dtheta
+        gss = dgrad @ dgrad
+        dgs = dtheta @ dgrad
+        ts = dss / jnp.where(dgs == 0, 1.0, dgs)
+        tm = dgs / jnp.where(gss == 0, 1.0, gss)
+        bb = jnp.where(tm / ts > 0.5, tm, ts - 0.5 * tm)
+        new_step = jnp.where(
+            jnp.logical_or(jnp.logical_or(dgs == 0, gss == 0),
+                           jnp.logical_or(tm < 0, ts < 0)),
+            step, bb)
+        return _GDState(s.it + 1, new_step, coeff, grad, s.coeff, s.grad,
+                        err, done)
+
+    def cond(s: _GDState):
+        return jnp.logical_and(s.it < max_iters, jnp.logical_not(s.done))
+
+    init = _GDState(jnp.int32(1), jnp.float32(step_size), coeff0, grad0,
+                    coeff0, grad0, error(coeff0), jnp.bool_(False))
+    final = jax.lax.while_loop(cond, body, init)
+    return final.coeff
+
+
+@jax.jit
+def linreg_predict_device(coeff: jax.Array, zt: jax.Array,
+                          label: int | jax.Array) -> jax.Array:
+    """Prediction from the device coeff vector over the features-first
+    feature matrix Zᵀ = [1 | x_num | onehot]ᵀ f32[P, n] (same layout as the
+    sigma): the model solves θ·z ≈ 0 with θ[label] = −1, so
+    ŷ = Σ_{i≠label} θ_i z_i. Returns f32[n]."""
+    p = coeff.shape[0]
+    theta = coeff * (1.0 - jax.nn.one_hot(label, p, dtype=coeff.dtype))
+    return theta @ zt
+
+
+def mice_column_step_device(x_num, codes, null_mask, *, schema, label: int,
+                            max_iters: int = 200):
+    """One fully-on-device MICE continuous-column step: masked aggregate →
+    GD train → batched predict → masked write-back. jit/shard_map-able.
+    x_num f32[d, n] features-first, codes i32[c, n], null_mask bool[n]."""
+    from ..ring.sum import _zt_block, masked_sigma
+
+    w = 1.0 - null_mask.astype(jnp.float32)
+    sigma = masked_sigma(x_num, codes, w, schema=schema)
+    coeff = linreg_train_device(sigma, label=label + 1,
+                                max_iters=max_iters)
+    zt = _zt_block(x_num, codes, schema)
+    pred = linreg_predict_device(coeff, zt, label + 1)
+    new_col = jnp.where(null_mask, pred, x_num[label])
+    return x_num.at[label].set(new_col), coeff

@@ -139,37 +139,40 @@ class LDAParams:
                          intercept, num_means, cat_means)
 
 
-def _onehot_features(x_num, codes, offsets, v, normalize,
-                     num_means, cat_means):
-    """Batched [n, m] feature matrix: numeric cols then concatenated one-hots
-    (LDA_impute :511-549)."""
+def _onehot_features_t(x_num, codes, offsets, v, normalize,
+                       num_means, cat_means):
+    """Features-first [m, n] feature matrix: numeric rows then concatenated
+    one-hots (LDA_impute :511-549, batched column-major)."""
     x = jnp.asarray(x_num, jnp.float32)
+    n = x.shape[-1]
     feats = [x if not normalize
-             else x - jnp.asarray(num_means, jnp.float32)]
+             else x - jnp.asarray(num_means, jnp.float32)[:, None]]
     if v > 0:
         parts = []
         codes = jnp.asarray(codes)
         for j in range(len(offsets) - 1):
             size = int(offsets[j + 1] - offsets[j])
-            parts.append(jax.nn.one_hot(codes[:, j], size, dtype=jnp.float32))
-        oh = jnp.concatenate(parts, axis=1)
+            cat_iota = jax.lax.broadcasted_iota(jnp.int32, (size, n), 0)
+            parts.append((codes[j][None, :] == cat_iota).astype(jnp.float32))
+        oh = jnp.concatenate(parts, axis=0)
         if normalize:
-            oh = oh - jnp.asarray(cat_means, jnp.float32)
+            oh = oh - jnp.asarray(cat_means, jnp.float32)[:, None]
         feats.append(oh)
-    return jnp.concatenate(feats, axis=1)
+    return jnp.concatenate(feats, axis=0)
 
 
 def lda_predict(params: np.ndarray, x_num, codes=None, *,
                 normalize: bool = False) -> jax.Array:
     """Batched `lda_predict(params, normalize, cols…)` → i32[n] 0-based class
-    indices (lda.cpp:575)."""
+    indices (lda.cpp:575). x_num f32[dn, n] features-first; codes i32[c, n]
+    LOCAL codes of the non-label categorical columns."""
     x_num = jnp.asarray(x_num, jnp.float32)
-    p = LDAParams.decode(params, x_num.shape[1], normalize)
+    p = LDAParams.decode(params, x_num.shape[0], normalize)
     v = len(p.cat_keys)
     # the stored idxs are the full boundary list of the remaining (non-label)
     # columns: n_cat values = (n_cat-1)+1 boundaries, first always 0
-    feats = _onehot_features(x_num, codes, p.offsets if v > 0 else [0], v,
-                             normalize, p.num_means, p.cat_means)
-    scores = feats @ jnp.asarray(p.coef, jnp.float32) \
-        + jnp.asarray(p.intercept, jnp.float32)
-    return jnp.argmax(scores, axis=1).astype(jnp.int32)
+    feats = _onehot_features_t(x_num, codes, p.offsets if v > 0 else [0], v,
+                               normalize, p.num_means, p.cat_means)
+    scores = jnp.asarray(p.coef, jnp.float32).T @ feats \
+        + jnp.asarray(p.intercept, jnp.float32)[:, None]
+    return jnp.argmax(scores, axis=0).astype(jnp.int32)

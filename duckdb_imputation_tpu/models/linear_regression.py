@@ -205,23 +205,22 @@ def linreg_predict(params: np.ndarray, x_num, codes=None, *,
                    key: jax.Array | None = None) -> jax.Array:
     """Batched `linreg_predict(params, add_noise, normalize, cols…)`.
 
-    x_num: f32[n, dn] numeric feature columns (label column excluded, same
-    order as training). codes: i32[n, c] LOCAL per-column category codes
-    against the training vocab (FeatureSchema.encode order). Unseen
-    categories (code == column size) contribute 0 — the reference's linear
-    scan reads one slot past the block there (regression.cpp:462-491), which
-    is an out-of-bounds artifact we do not reproduce.
+    x_num: f32[dn, n] numeric feature columns FEATURES-FIRST (label column
+    excluded, same order as training). codes: i32[c, n] LOCAL per-column
+    category codes against the training vocab (FeatureSchema.encode order).
+    Unseen categories (code == column size) contribute 0 — the reference's
+    linear scan reads one slot past the block there (regression.cpp:462-491),
+    an out-of-bounds artifact we do not reproduce. Returns f32[n].
     """
     x_num = jnp.asarray(x_num, jnp.float32)
-    dn = x_num.shape[1]
+    dn, n = x_num.shape
     has_var = add_noise
     p = LinregParams.decode(params, dn, normalize, has_var)
     w_num = jnp.asarray(p.num_coef, jnp.float32)
-    pred = jnp.full(x_num.shape[:1], p.intercept, jnp.float32)
+    pred = jnp.full((n,), p.intercept, jnp.float32)
+    pred = pred + w_num @ x_num
     if normalize:
-        pred = pred + (x_num - jnp.asarray(p.num_means, jnp.float32)) @ w_num
-    else:
-        pred = pred + x_num @ w_num
+        pred = pred - jnp.float32(float(np.dot(p.num_means, p.num_coef)))
     if p.n_cat > 0 and codes is not None:
         codes = jnp.asarray(codes)
         # pad the coef table with one zero slot per column end for misses
@@ -229,8 +228,8 @@ def linreg_predict(params: np.ndarray, x_num, codes=None, *,
             [jnp.asarray(p.cat_coef, jnp.float32), jnp.zeros(1, jnp.float32)])
         for j in range(p.n_cat):
             start, end = int(p.offsets[j]), int(p.offsets[j + 1])
-            pos = jnp.where(codes[:, j] < end - start,
-                            codes[:, j] + start, len(p.cat_coef))
+            pos = jnp.where(codes[j] < end - start,
+                            codes[j] + start, len(p.cat_coef))
             pred = pred + coef_pad[pos]
         if normalize:
             # subtract Σ_v mean_v * coef_v for every categorical slot

@@ -113,19 +113,21 @@ class NBParams:
 def nb_predict(params: np.ndarray, x_num, codes=None) -> jax.Array:
     """Batched `nb_predict(params, normalize, cols…)` → i64[n] label VALUES.
 
-    codes: LOCAL per-column codes against the training vocab; code == column
-    size (unseen) zeroes the row's probability for every class."""
+    x_num f32[d, n] features-first; codes i32[c, n] LOCAL codes against the
+    training vocab; code == column size (unseen) zeroes the row's
+    probability for every class."""
     x_num = jnp.asarray(x_num, jnp.float32)
-    p = NBParams.decode(params, x_num.shape[1])
+    p = NBParams.decode(params, x_num.shape[0])
     v = len(p.cat_keys)
     mean = jnp.asarray(p.mean, jnp.float32)          # [C, d]
     var = jnp.asarray(p.var, jnp.float32) + 1e-9
     prior = jnp.asarray(p.priors, jnp.float32)
-    # gaussian pdf product over numeric cols, broadcast rows × classes
-    x = x_num[:, None, :]                            # [n, 1, d]
-    pdf = (1.0 / jnp.sqrt(2.0 * math.pi * var)
-           * jnp.exp(-(x - mean) ** 2 / (2.0 * var)))   # [n, C, d]
-    prob = prior[None, :] * jnp.prod(pdf, axis=-1)      # [n, C]
+    # gaussian pdf product over numeric cols, classes × rows
+    x = x_num[None, :, :]                            # [1, d, n]
+    pdf = (1.0 / jnp.sqrt(2.0 * math.pi * var)[:, :, None]
+           * jnp.exp(-(x - mean[:, :, None]) ** 2
+                     / (2.0 * var)[:, :, None]))     # [C, d, n]
+    prob = prior[:, None] * jnp.prod(pdf, axis=1)    # [C, n]
     if v > 0 and codes is not None:
         codes = jnp.asarray(codes)
         freq_pad = jnp.concatenate(
@@ -133,10 +135,9 @@ def nb_predict(params: np.ndarray, x_num, codes=None) -> jax.Array:
              jnp.zeros((p.n_classes, 1), jnp.float32)], axis=1)  # miss slot
         for j in range(len(p.offsets) - 1):
             start, end = int(p.offsets[j]), int(p.offsets[j + 1])
-            pos = jnp.where(codes[:, j] < end - start,
-                            codes[:, j] + start, v)
-            prob = prob * freq_pad[:, pos].T
+            pos = jnp.where(codes[j] < end - start, codes[j] + start, v)
+            prob = prob * freq_pad[:, pos]
     # reference keeps class 0 when all probabilities are 0 (max_prob init 0,
     # strict >): argmax of equal zeros is 0 — consistent.
-    best = jnp.argmax(prob, axis=1)
+    best = jnp.argmax(prob, axis=0)
     return jnp.asarray(p.labels)[best]

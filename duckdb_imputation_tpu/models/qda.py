@@ -169,12 +169,14 @@ def qda_predict(params: np.ndarray, x_num, codes=None, *,
                 normalize: bool = False) -> jax.Array:
     """Batched `qda_predict(params, normalize, cols…)` → i64[n] label VALUES.
 
-    codes: LOCAL per-column codes against the DROP-FIRST vocab (code 0 = the
-    dropped category ⇒ all-zero block; encode raw values with
+    x_num f32[dn, n] features-first; codes i32[c, n] LOCAL per-column codes
+    against the DROP-FIRST vocab (code == size for the dropped/unseen
+    category ⇒ all-zero block; encode raw values with
     schema.drop_first().encode — misses map to size ⇒ zeros, matching
     qda.cpp:419-424)."""
     x_num = jnp.asarray(x_num, jnp.float32)
-    p = QDAParams.decode(params, x_num.shape[1], normalize)
+    n = x_num.shape[-1]
+    p = QDAParams.decode(params, x_num.shape[0], normalize)
     v = len(p.cat_keys)
     feats = [x_num]
     if v > 0:
@@ -182,9 +184,10 @@ def qda_predict(params: np.ndarray, x_num, codes=None, *,
         codes = jnp.asarray(codes)
         for j in range(len(p.offsets) - 1):
             size = int(p.offsets[j + 1] - p.offsets[j])
-            parts.append(jax.nn.one_hot(codes[:, j], size, dtype=jnp.float32))
-        feats.append(jnp.concatenate(parts, axis=1))
-    f = jnp.concatenate(feats, axis=1)
+            cat_iota = jax.lax.broadcasted_iota(jnp.int32, (size, n), 0)
+            parts.append((codes[j][None, :] == cat_iota).astype(jnp.float32))
+        feats.append(jnp.concatenate(parts, axis=0))
+    f = jnp.concatenate(feats, axis=0).T          # [n, m] for the per-class quad form
     if normalize:
         mean_vec = jnp.concatenate([
             jnp.asarray(p.num_means, jnp.float32),

@@ -1,0 +1,174 @@
+"""Pallas TPU kernel for the fused masked cofactor aggregation.
+
+This is the native-kernel replacement for the reference's hot loop
+(Triple::SumNoLift, sum_no_lift.cpp:53-216 — scalar FMA quad loop + hash-map
+upserts per row). Contract identical to ring.sum.masked_sigma: inputs are
+features-first (x f32[d, n], codes i32[c, n], w f32[n]), output the P×P
+sigma with P = 1 + d + V.
+
+Kernel design:
+  * COLUMN-MAJOR streaming: the row axis rides the 128-lane dimension, so
+    narrow column data is dense in HBM and VMEM (row-major [n, d] would be
+    tile-padded 128/d×);
+  * Z built IN VMEM (ones row ‖ x ‖ one-hot via iota compare) — the one-hot
+    expansion never touches HBM;
+  * LANE-PACKING for small P: each block is split into `pack = ⌊128/P⌋`
+    contiguous chunks stacked along sublanes, so one MXU pass computes
+    `pack` independent P×P Gram blocks — recovering the utilization naive
+    padding throws away. Cross-chunk blocks land in discarded off-diagonal
+    positions;
+  * f32 accumulation into the output block across grid steps (HIGHEST
+    precision — no bf16 demotion of the inputs).
+
+The epilogue (sum of `pack` diagonal P×P blocks) is tiny XLA.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...schema import FeatureSchema
+
+LANES = 128
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _sizing(schema: FeatureSchema):
+    """(pack, width): how many P-segments ride the 128 sublanes, and the
+    padded matmul width."""
+    p_pad = _round_up(schema.sigma_size, 8)
+    if p_pad <= LANES:
+        pack = LANES // p_pad
+        width = LANES
+    else:
+        pack = 1
+        width = _round_up(p_pad, LANES)
+    return pack, width
+
+
+def _seg_size(schema: FeatureSchema, pack: int, width: int) -> int:
+    return _round_up(schema.sigma_size, 8) if pack > 1 else width
+
+
+def _sigma_kernel(x_ref, codes_ref, w_ref, out_ref, *, schema: FeatureSchema,
+                  pack: int, chunk: int, width: int):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p_pad = _seg_size(schema, pack, width)
+    d = schema.num_cols
+    offs = schema.offsets
+    # per-sublane dispatch from iota + static offsets — the Z block becomes
+    # d+c broadcast multiply-adds on the VPU instead of dozens of
+    # sublane-misaligned concats (no captured constants: Pallas requires
+    # everything derived from iota / refs)
+    q = jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+
+    zts, zws = [], []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        zt = (q == 0).astype(jnp.float32)         # broadcasts to [p_pad, chunk]
+        zt = jnp.broadcast_to(zt, (p_pad, chunk))
+        for j in range(d):
+            zt = zt + (q == 1 + j).astype(jnp.float32) * x_ref[j, sl][None, :]
+        for j, size in enumerate(schema.cat_sizes):
+            start = 1 + d + offs[j]
+            inseg = jnp.logical_and(q >= start, q < start + size)
+            hit = jnp.logical_and(
+                inseg, codes_ref[j, sl][None, :] == (q - start))
+            zt = zt + hit.astype(jnp.float32)
+        zts.append(zt)
+        zws.append(zt * w_ref[:, sl])
+    if pack * p_pad < width:
+        zpad = jnp.zeros((width - pack * p_pad, chunk), jnp.float32)
+        zts.append(zpad)
+        zws.append(zpad)
+    zt_packed = jnp.concatenate(zts, axis=0) if len(zts) > 1 else zts[0]
+    zw_packed = jnp.concatenate(zws, axis=0) if len(zws) > 1 else zws[0]
+    # f32 HIGHEST: the MXU runs this as multi-pass bf16; a manual bf16x3
+    # split was measured 5x SLOWER here (bf16 (16,128) tiling forces
+    # relayouts for the lanes-contracted operands) and less accurate.
+    out_ref[:] += jax.lax.dot_general(
+        zt_packed, zw_packed, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "chunk_cols"))
+def sigma_pallas(x_num, codes, weights, *, schema: FeatureSchema,
+                 chunk_cols: int = 2048) -> jax.Array:
+    """Masked sigma S = Zᵀ diag(w) Z via the packed Pallas kernel.
+
+    x_num f32[d, n], codes i32[c, n], weights f32[n]; n must be a multiple
+    of pack*chunk_cols (use sigma_pallas_padded otherwise)."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = x_num.shape[-1] if d else codes.shape[-1]
+    p = schema.sigma_size
+    pack, width = _sizing(schema)
+    block = pack * chunk_cols
+    assert n % block == 0, (n, block)
+    grid = (n // block,)
+
+    x_in = (jnp.asarray(x_num, jnp.float32) if d
+            else jnp.zeros((1, n), jnp.float32))
+    c_in = (jnp.asarray(codes, jnp.int32) if c
+            else jnp.zeros((1, n), jnp.int32))
+    w_in = jnp.asarray(weights, jnp.float32).reshape(1, n)
+
+    out = pl.pallas_call(
+        functools.partial(_sigma_kernel, schema=schema, pack=pack,
+                          chunk=chunk_cols, width=width),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((max(d, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((width, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((width, width), jnp.float32),
+        # NOTE: no cost_estimate — declaring the (padded) FLOP count makes
+        # the Mosaic scheduler serialize the pipeline, costing ~600x.
+    )(x_in, c_in, w_in)
+    seg = _seg_size(schema, pack, width)
+    sigma = out[:p, :p]
+    for k in range(1, pack):
+        sigma = sigma + out[k * seg:k * seg + p, k * seg:k * seg + p]
+    return sigma
+
+
+def sigma_pallas_padded(x_num, codes, weights, *, schema: FeatureSchema,
+                        chunk_cols: int = 2048) -> jax.Array:
+    """Wrapper: zero-weight pad n up to a block multiple (padding rows carry
+    weight 0, so they contribute nothing)."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = x_num.shape[-1] if d else codes.shape[-1]
+    pack, _ = _sizing(schema)
+    block = pack * chunk_cols
+    pad = (-n) % block
+    if pad:
+        if d:
+            x_num = jnp.pad(jnp.asarray(x_num, jnp.float32), ((0, 0), (0, pad)))
+        if c:
+            codes = jnp.pad(jnp.asarray(codes, jnp.int32), ((0, 0), (0, pad)))
+        w = (jnp.ones((n,), jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+        weights = jnp.pad(w, (0, pad))
+    elif weights is None:
+        weights = jnp.ones((n,), jnp.float32)
+    return sigma_pallas(x_num, codes, weights, schema=schema,
+                        chunk_cols=chunk_cols)

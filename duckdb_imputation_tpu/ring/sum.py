@@ -8,8 +8,8 @@ sections, merged across threads by SumStateCombine (sum_state.cpp:10-114).
 TPU design: with the dense vocab layout the WHOLE triple is one masked Gram
 matrix. Let
 
-    Z = [1 | X_num | onehot(X_cat)]  ∈ f32[n, P],  P = 1 + d + V
-    S = Zᵀ · diag(w) · Z             (w = row mask / weights)
+    Zᵀ = [1 | X_num | onehot(X_cat)]ᵀ  ∈ f32[P, n],  P = 1 + d + V
+    S  = Zᵀ · diag(w) · Z              (w = row mask / weights)
 
 Then S contains every section: N = S[0,0], lin = S[0,1:1+d],
 quad = S[1:1+d,1:1+d], lin_cat = S[0,1+d:], num_cat = S[1:1+d,1+d:],
@@ -17,15 +17,25 @@ cat_cat = S[1+d:,1+d:] — a single MXU matmul replaces the scalar loop, the
 hash maps, and (because the mask is fused in) every `WHERE col_IS_NULL IS
 FALSE` scan of the MICE driver (imputation_base.cpp:29,100).
 
+LAYOUT: all feature arrays are COLUMN-MAJOR ("features-first"):
+x_num f32[d, n], codes i32[c, n], weights f32[n]. TPU tiles the minor-most
+dimension to 128 lanes, so a row-major [n, d] column table with small d is
+padded 128/d× in HBM and VMEM (measured 32× for d=4) — column-major puts the
+huge row axis in lanes and is dense. This is also the honest analogue of
+columnar storage.
+
 Rows are processed in static-size chunks via lax.scan so Z is never
 materialized at full length in HBM; padding rows carry mask 0 and therefore
-contribute nothing. Accumulation is f32 with `precision=HIGHEST` so the MXU
-does not drop to bf16 inputs (parity with the reference's f32 accumulation).
+contribute nothing. Accumulation is f32 with `precision=HIGHEST` (parity with
+the reference's f32 accumulation; no bf16 drop).
 
 Grouped aggregation (GROUP BY g — per-class triples for QDA/NB,
 qda.cpp:27, sum_to_nb_agg.cpp:39) masks the weight vector per group and is
 vmapped over the group axis: skewed groups cost nothing extra because every
 group does the same dense work.
+
+The Pallas kernel in kernels/sigma_pallas.py implements the same contract
+with lane-packing for small P; `backend="pallas"` routes to it on TPU.
 """
 from __future__ import annotations
 
@@ -39,83 +49,99 @@ import numpy as np
 from ..schema import FeatureSchema
 from .triple import NBAgg, Triple, triple_from_sigma
 
-# Rows per scan chunk for the streaming Gram accumulation.
-DEFAULT_ROW_CHUNK = 1 << 16
+# Rows per scan chunk for the streaming Gram accumulation (XLA path).
+DEFAULT_ROW_CHUNK = 1 << 17
 
 
 def _as_f32(x):
     return jnp.asarray(x, jnp.float32)
 
 
-def onehot_block(codes: jax.Array, schema: FeatureSchema) -> jax.Array:
-    """B = concatenated per-column one-hots, f32[n, V].
+def _normalize_inputs(x_num, codes, weights):
+    """Accept None columns; return features-first arrays + n."""
+    if x_num is not None:
+        x_num = _as_f32(x_num)
+        n = x_num.shape[-1]
+    elif codes is not None:
+        codes = jnp.asarray(codes, jnp.int32)
+        n = codes.shape[-1]
+    else:
+        raise ValueError("need x_num or codes")
+    if x_num is None:
+        x_num = jnp.zeros((0, n), jnp.float32)
+    if codes is None:
+        codes = jnp.zeros((0, n), jnp.int32)
+    codes = jnp.asarray(codes, jnp.int32)
+    if weights is None:
+        weights = jnp.ones((n,), jnp.float32)
+    return x_num, codes, _as_f32(weights), n
 
-    `codes` are LOCAL per-column codes in [0, size_j); code == size_j (vocab
-    miss, the find_in_array miss convention) yields an all-zero row for that
-    column."""
+
+def onehot_block_t(codes: jax.Array, schema: FeatureSchema) -> jax.Array:
+    """Bᵀ = concatenated per-column one-hots, f32[V, n], from codes i32[c, n].
+
+    A code outside [0, size_j) (vocab miss, the find_in_array convention)
+    yields an all-zero column for that categorical column."""
+    n = codes.shape[-1]
     parts = []
     for j, size in enumerate(schema.cat_sizes):
-        parts.append(jax.nn.one_hot(codes[..., j], size, dtype=jnp.float32))
+        cat_iota = jax.lax.broadcasted_iota(jnp.int32, (size, n), 0)
+        parts.append((codes[j][None, :] == cat_iota).astype(jnp.float32))
     if not parts:
-        return jnp.zeros(codes.shape[:-1] + (0,), jnp.float32)
-    return jnp.concatenate(parts, axis=-1)
+        return jnp.zeros((0, n), jnp.float32)
+    return jnp.concatenate(parts, axis=0)
 
 
-def _z_block(x_num, codes, schema: FeatureSchema) -> jax.Array:
-    n = x_num.shape[0] if x_num is not None else codes.shape[0]
-    cols = [jnp.ones((n, 1), jnp.float32)]
+def _zt_block(x_num, codes, schema: FeatureSchema) -> jax.Array:
+    """Zᵀ f32[P, n]."""
+    n = x_num.shape[-1] if x_num.shape[0] else codes.shape[-1]
+    rows = [jnp.ones((1, n), jnp.float32)]
     if schema.num_cols:
-        cols.append(_as_f32(x_num))
+        rows.append(x_num)
     if schema.cat_cols:
-        cols.append(onehot_block(codes, schema))
-    return jnp.concatenate(cols, axis=-1)
+        rows.append(onehot_block_t(codes, schema))
+    return jnp.concatenate(rows, axis=0)
 
 
-def _pad_rows(arr, mult):
-    n = arr.shape[0]
+def _pad_cols(arr, mult):
+    n = arr.shape[-1]
     pad = (-n) % mult
     if pad == 0:
         return arr
-    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    widths = [(0, 0)] * (arr.ndim - 1) + [(0, pad)]
     return jnp.pad(arr, widths)
 
 
 @functools.partial(jax.jit, static_argnames=("schema", "row_chunk"))
 def masked_sigma(x_num, codes, weights, *, schema: FeatureSchema,
                  row_chunk: int = DEFAULT_ROW_CHUNK) -> jax.Array:
-    """S = Zᵀ diag(w) Z, f32[P, P], streaming over row chunks."""
-    n = x_num.shape[0] if x_num is not None else codes.shape[0]
-    if x_num is None:
-        x_num = jnp.zeros((n, 0), jnp.float32)
-    if codes is None:
-        codes = jnp.zeros((n, 0), jnp.int32)
-    if weights is None:
-        weights = jnp.ones((n,), jnp.float32)
-    weights = _as_f32(weights)
+    """S = Zᵀ diag(w) Z, f32[P, P], streaming over row chunks.
 
+    x_num: f32[d, n] features-first; codes: i32[c, n]; weights: f32[n]."""
+    x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
     p = schema.sigma_size
 
-    if n <= row_chunk:
-        z = _z_block(x_num, codes, schema)
-        zw = z * weights[:, None]
-        return jnp.dot(z.T, zw, precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+    def gram(xn, cd, w):
+        zt = _zt_block(xn, cd, schema)
+        return jax.lax.dot_general(
+            zt * w[None, :], zt, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
 
-    x_num = _pad_rows(_as_f32(x_num), row_chunk)
-    codes = _pad_rows(codes, row_chunk)
-    weights = _pad_rows(weights, row_chunk)
-    nc = x_num.shape[0] // row_chunk
-    xs = (x_num.reshape(nc, row_chunk, -1),
-          codes.reshape(nc, row_chunk, -1),
+    if n <= row_chunk:
+        return gram(x_num, codes, weights)
+
+    x_num = _pad_cols(x_num, row_chunk)
+    codes = _pad_cols(codes, row_chunk)
+    weights = _pad_cols(weights, row_chunk)
+    nc = x_num.shape[-1] // row_chunk
+    xs = (x_num.reshape(x_num.shape[0], nc, row_chunk).swapaxes(0, 1),
+          codes.reshape(codes.shape[0], nc, row_chunk).swapaxes(0, 1),
           weights.reshape(nc, row_chunk))
 
     def body(acc, chunk):
         xn, cd, w = chunk
-        z = _z_block(xn, cd, schema)
-        zw = z * w[:, None]
-        acc = acc + jnp.dot(z.T, zw, precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)
-        return acc, None
+        return acc + gram(xn, cd, w), None
 
     acc0 = jnp.zeros((p, p), jnp.float32)
     sigma, _ = jax.lax.scan(body, acc0, xs)
@@ -124,18 +150,26 @@ def masked_sigma(x_num, codes, weights, *, schema: FeatureSchema,
 
 def sum_to_triple(x_num=None, codes=None, weights=None, *,
                   schema: FeatureSchema,
-                  row_chunk: int = DEFAULT_ROW_CHUNK) -> Triple:
+                  row_chunk: int = DEFAULT_ROW_CHUNK,
+                  backend: str = "auto") -> Triple:
     """Fused lift+sum: the TPU-native `sum_to_triple_x_y(cols…)` aggregate
     (Triple::SumNoLift, sum_no_lift.cpp:53-216).
 
     Args:
-      x_num: f32[n, d] numeric columns (d may be 0 / None).
-      codes: i32[n, c] LOCAL per-column category codes (see FeatureSchema.encode).
-      weights: f32[n] row weights; 0 = filtered out (fuses WHERE masks);
-        None = all ones.
-    """
-    sigma = masked_sigma(x_num, codes, weights, schema=schema,
-                         row_chunk=row_chunk)
+      x_num: f32[d, n] numeric columns, features-first (d may be 0 / None).
+      codes: i32[c, n] LOCAL per-column category codes (FeatureSchema.encode).
+      weights: f32[n] row weights; 0 = filtered out (fuses WHERE masks).
+      backend: 'auto' | 'xla' | 'pallas' — pallas uses the lane-packed MXU
+        kernel (TPU only)."""
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() not in ("cpu",))
+    if use_pallas:
+        from .kernels.sigma_pallas import sigma_pallas_padded
+        x_num2, codes2, weights2, _ = _normalize_inputs(x_num, codes, weights)
+        sigma = sigma_pallas_padded(x_num2, codes2, weights2, schema=schema)
+    else:
+        sigma = masked_sigma(x_num, codes, weights, schema=schema,
+                             row_chunk=row_chunk)
     return triple_from_sigma(sigma, schema.num_cols)
 
 
@@ -144,7 +178,8 @@ def _grouped_sigma(x_num, codes, weights, group_ids, *, schema: FeatureSchema,
                    num_groups: int, row_chunk: int) -> jax.Array:
     def one_group(g):
         w = weights * (group_ids == g).astype(jnp.float32)
-        return masked_sigma(x_num, codes, w, schema=schema, row_chunk=row_chunk)
+        return masked_sigma(x_num, codes, w, schema=schema,
+                            row_chunk=row_chunk)
     return jax.vmap(one_group)(jnp.arange(num_groups))
 
 
@@ -156,14 +191,8 @@ def sum_to_triple_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
     Replaces the reference's per-group hash-aggregation (DuckDB GROUP BY over
     SumState); per-class triples for QDA/LDA/NB come out of one data pass.
     Rows with group_ids outside [0, num_groups) are dropped."""
-    n = x_num.shape[0] if x_num is not None else codes.shape[0]
-    if x_num is None:
-        x_num = jnp.zeros((n, 0), jnp.float32)
-    if codes is None:
-        codes = jnp.zeros((n, 0), jnp.int32)
-    if weights is None:
-        weights = jnp.ones((n,), jnp.float32)
-    sigma = _grouped_sigma(_as_f32(x_num), codes, _as_f32(weights),
+    x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
+    sigma = _grouped_sigma(x_num, codes, weights,
                            jnp.asarray(group_ids), schema=schema,
                            num_groups=num_groups, row_chunk=row_chunk)
     return triple_from_sigma(sigma, schema.num_cols)
@@ -178,13 +207,9 @@ def lift(x_num=None, codes=None, *, schema: FeatureSchema) -> Triple:
     """`to_cofactor(cols…)` (Triple::CustomLift, lift.cpp:15-243): each row
     becomes a degree-1 triple (N=1, lin=x, quad=x xᵀ, singleton cat maps).
     Returns a batched Triple with leading axis n."""
-    n = x_num.shape[0] if x_num is not None else codes.shape[0]
-    if x_num is None:
-        x_num = jnp.zeros((n, 0), jnp.float32)
-    if codes is None:
-        codes = jnp.zeros((n, 0), jnp.int32)
-    x = _as_f32(x_num)
-    b = onehot_block(codes, schema)
+    x_num, codes, _, n = _normalize_inputs(x_num, codes, None)
+    x = x_num.T                                   # [n, d] — small per-row math
+    b = onehot_block_t(codes, schema).T           # [n, V]
     return Triple(
         n=jnp.ones((n,), jnp.float32),
         lin=x,
@@ -210,22 +235,16 @@ def sum_to_nb_agg(x_num=None, codes=None, weights=None, *,
                   schema: FeatureSchema,
                   row_chunk: int = DEFAULT_ROW_CHUNK) -> NBAgg:
     """Fused NB aggregate `sum_to_nb_agg_x_y(cols…)` (Triple::sum_to_nb_agg,
-    sum/sum_to_nb_agg.cpp:39-146): lin + diagonal quad + category counts."""
-    n = x_num.shape[0] if x_num is not None else codes.shape[0]
-    if x_num is None:
-        x_num = jnp.zeros((n, 0), jnp.float32)
-    if codes is None:
-        codes = jnp.zeros((n, 0), jnp.int32)
-    if weights is None:
-        weights = jnp.ones((n,), jnp.float32)
-    x = _as_f32(x_num)
-    w = _as_f32(weights)
-    b = onehot_block(codes, schema)
+    sum/sum_to_nb_agg.cpp:39-146): lin + diagonal quad + category counts.
+    Pure column reductions — VPU-bound, one data pass."""
+    x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
+    w = weights[None, :]
+    b = onehot_block_t(codes, schema)
     return NBAgg(
-        n=jnp.sum(w),
-        lin=jnp.dot(w, x, precision=jax.lax.Precision.HIGHEST),
-        quad_diag=jnp.dot(w, x * x, precision=jax.lax.Precision.HIGHEST),
-        lin_cat=jnp.dot(w, b, precision=jax.lax.Precision.HIGHEST),
+        n=jnp.sum(weights),
+        lin=jnp.sum(x_num * w, axis=-1),
+        quad_diag=jnp.sum(x_num * x_num * w, axis=-1),
+        lin_cat=jnp.sum(b * w, axis=-1),
     )
 
 
@@ -233,12 +252,10 @@ def sum_to_nb_agg(x_num=None, codes=None, weights=None, *,
 def sum_to_nb_agg_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
                           num_groups: int, weights=None) -> NBAgg:
     """Grouped NB aggregate — one NBAgg per group (GROUP BY label)."""
-    n = x_num.shape[0] if x_num is not None else codes.shape[0]
-    if weights is None:
-        weights = jnp.ones((n,), jnp.float32)
+    x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
 
     def one_group(g):
-        w = _as_f32(weights) * (jnp.asarray(group_ids) == g).astype(jnp.float32)
+        w = weights * (jnp.asarray(group_ids) == g).astype(jnp.float32)
         return sum_to_nb_agg(x_num, codes, w, schema=schema)
     return jax.vmap(one_group)(jnp.arange(num_groups))
 
@@ -246,13 +263,9 @@ def sum_to_nb_agg_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
 @functools.partial(jax.jit, static_argnames=("schema",))
 def nb_lift(x_num=None, codes=None, *, schema: FeatureSchema) -> NBAgg:
     """`to_nb_agg(cols…)` (Triple::to_nb_lift, lift_to_nb_agg.cpp:13-136)."""
-    n = x_num.shape[0] if x_num is not None else codes.shape[0]
-    if x_num is None:
-        x_num = jnp.zeros((n, 0), jnp.float32)
-    if codes is None:
-        codes = jnp.zeros((n, 0), jnp.int32)
-    x = _as_f32(x_num)
-    b = onehot_block(codes, schema)
+    x_num, codes, _, n = _normalize_inputs(x_num, codes, None)
+    x = x_num.T
+    b = onehot_block_t(codes, schema).T
     return NBAgg(n=jnp.ones((n,), jnp.float32), lin=x, quad_diag=x * x,
                  lin_cat=b)
 
@@ -260,3 +273,10 @@ def nb_lift(x_num=None, codes=None, *, schema: FeatureSchema) -> NBAgg:
 def sum_nb_aggs(t: NBAgg, axis: int = 0) -> NBAgg:
     """`sum_nb_agg(agg)` (Triple::sum_nb_agg, sum/sum_nb_agg.cpp:45-175)."""
     return jax.tree.map(lambda x: jnp.sum(x, axis=axis), t)
+
+
+# Backwards-compat name (row-major one-hot used by a few callers/tests).
+def onehot_block(codes_rowmajor: jax.Array, schema: FeatureSchema) -> jax.Array:
+    """B f32[n, V] from row-major codes i32[n, c] (convenience for predict
+    paths and tests; the aggregation path uses onehot_block_t)."""
+    return onehot_block_t(jnp.asarray(codes_rowmajor).T, schema).T

@@ -2,16 +2,19 @@
 
 Replaces the reference's DuckDB storage layer for the imputation workload:
 
-- columns: f32[n] numeric / i64[n] categorical, held as [n, d] matrices
-  (MXU-friendly); FLOAT/DOUBLE ⇒ numeric, anything else ⇒ categorical —
-  the reference's dispatch rule (triple/lift.cpp:34-37).
-- null masks: bool[n] per nullable column — the `<col>_IS_NULL` flag columns
-  that `init_baseline` materializes (imputation/algorithms/partition.cpp:
-  671-719).
-- write-back: functional column replace (jnp.where) — this dissolves the
-  reference's patched `ALTER TABLE … SET DEFAULT` zero-copy column-segment
-  swap (duckdb_imputation.patch:26-175): replacing one column is already
-  O(column) and touches nothing else; with donated buffers it is in-place.
+- columns: FEATURES-FIRST device arrays — num_data f32[d, n],
+  cat_codes i32[c, n]. TPU tiles the minor-most axis to 128 lanes, so
+  row-major [n, d] column data with small d would be padded 128/d× in HBM
+  (measured 32× for d=4); features-first is dense and IS columnar storage.
+  FLOAT/DOUBLE ⇒ numeric, anything else ⇒ categorical — the reference's
+  dispatch rule (triple/lift.cpp:34-37).
+- null masks: bool[d, n] — the `<col>_IS_NULL` flag columns that
+  `init_baseline` materializes (imputation/algorithms/partition.cpp:671-719).
+- write-back: functional row replace (jnp.where on one row of the matrix) —
+  this dissolves the reference's patched `ALTER TABLE … SET DEFAULT`
+  zero-copy column-segment swap (duckdb_imputation.patch:26-175): replacing
+  one column is O(column) and touches nothing else; with donated buffers it
+  is in-place.
 """
 from __future__ import annotations
 
@@ -27,13 +30,13 @@ from ..schema import FeatureSchema
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Table:
-    """Columnar table. All arrays share leading row count n.
+    """Columnar table. All arrays share trailing row count n.
 
-    num_data: f32[n, d_num] — numeric columns (current, possibly imputed).
-    cat_codes: i32[n, d_cat] — categorical columns as LOCAL per-column codes
+    num_data: f32[d_num, n] — numeric columns (current, possibly imputed).
+    cat_codes: i32[d_cat, n] — categorical columns as LOCAL per-column codes
       against `schema` (static field).
-    num_null: bool[n, d_num] — True where the value was ORIGINALLY missing.
-    cat_null: bool[n, d_cat].
+    num_null: bool[d_num, n] — True where the value was ORIGINALLY missing.
+    cat_null: bool[d_cat, n].
     """
     num_data: jax.Array
     cat_codes: jax.Array
@@ -48,14 +51,14 @@ class Table:
 
     @property
     def n_rows(self) -> int:
-        return self.num_data.shape[0] if self.num_data.ndim else 0
+        return self.num_data.shape[-1]
 
     def cat_values(self) -> np.ndarray:
-        """Decode codes back to raw category values (host)."""
+        """Decode codes back to raw category values, [c, n] (host)."""
         codes = np.asarray(self.cat_codes)
         out = np.zeros_like(codes, dtype=np.int64)
         for j in range(self.schema.cat_cols):
-            out[:, j] = self.schema.decode(j, codes[:, j])
+            out[j] = self.schema.decode(j, codes[j])
         return out
 
     def with_num_col(self, j: int, values: jax.Array,
@@ -63,39 +66,53 @@ class Table:
         """Write-back for a numeric column: replace (masked) values — the
         `CASE WHEN col_IS_NULL THEN pred ELSE col END` + column swap of the
         MICE loop (imputation_base.cpp:137-139)."""
-        col = self.num_data[:, j]
-        new = jnp.where(self.num_null[:, j], values, col) if only_null else values
+        col = self.num_data[j]
+        new = jnp.where(self.num_null[j], values, col) if only_null else values
         return dataclasses.replace(
-            self, num_data=self.num_data.at[:, j].set(new))
+            self, num_data=self.num_data.at[j].set(new))
 
     def with_cat_col(self, j: int, codes: jax.Array,
                      only_null: bool = True) -> "Table":
-        col = self.cat_codes[:, j]
-        new = jnp.where(self.cat_null[:, j], codes, col) if only_null else codes
+        col = self.cat_codes[j]
+        new = jnp.where(self.cat_null[j], codes, col) if only_null else codes
         return dataclasses.replace(
-            self, cat_codes=self.cat_codes.at[:, j].set(new))
+            self, cat_codes=self.cat_codes.at[j].set(new))
 
     def null_count_per_row(self) -> jax.Array:
         """The `n_nulls` row histogram column of `partition`
         (partition.cpp:61-73)."""
-        return (jnp.sum(self.num_null, axis=1)
-                + jnp.sum(self.cat_null, axis=1)).astype(jnp.int32)
+        return (jnp.sum(self.num_null, axis=0)
+                + jnp.sum(self.cat_null, axis=0)).astype(jnp.int32)
 
 
 def from_numpy(num_data=None, cat_data=None, num_null=None, cat_null=None,
-               num_names=(), cat_names=(), schema: FeatureSchema | None = None
-               ) -> Table:
-    """Build a Table from host arrays. NaNs in num_data and negative values
-    in cat_data are treated as missing when explicit masks are absent.
-    Missing cells are left as-is (call mice.partition.init_fill to fill)."""
+               num_names=(), cat_names=(), schema: FeatureSchema | None = None,
+               rows_first: bool = True) -> Table:
+    """Build a Table from host arrays (default pandas-style [n, d] row-major;
+    pass rows_first=False for features-first input). NaNs in num_data and
+    negative values in cat_data are treated as missing when explicit masks
+    are absent. Missing cells are zero/first-key placeholders (call
+    mice.partition.init_fill to mean/mode-fill)."""
+    if num_data is None and cat_data is None:
+        raise ValueError("need at least one of num_data/cat_data")
+
+    def orient(a):
+        if a is None:
+            return None
+        a = np.asarray(a)
+        return a.T if rows_first else a
+
+    num_data = orient(num_data)
+    cat_data = orient(cat_data)
+    num_null = orient(num_null)
+    cat_null = orient(cat_null)
     if num_data is None:
-        n = len(cat_data)
-        num_data = np.zeros((n, 0), np.float32)
+        num_data = np.zeros((0, cat_data.shape[-1]), np.float32)
     num_data = np.asarray(num_data, np.float32)
-    n = num_data.shape[0]
+    n = num_data.shape[-1] if num_data.size or num_data.shape[0] == 0 else 0
+    n = num_data.shape[-1]
     if cat_data is None:
-        cat_data = np.zeros((n, 0), np.int64)
-    cat_data = np.asarray(cat_data)
+        cat_data = np.zeros((0, n), np.int64)
     if num_null is None:
         num_null = np.isnan(num_data)
     if cat_null is None:
@@ -105,18 +122,21 @@ def from_numpy(num_data=None, cat_data=None, num_null=None, cat_null=None,
     if schema is None:
         # vocab from OBSERVED values only (missing cells don't define classes)
         keys = []
-        for j in range(cat_data.shape[1]):
-            obs = cat_data[~cat_null[:, j], j]
+        for j in range(cat_data.shape[0]):
+            obs = cat_data[j, ~cat_null[j]]
             keys.append(tuple(int(v) for v in np.unique(obs)))
-        schema = FeatureSchema(num_cols=num_data.shape[1],
+        schema = FeatureSchema(num_cols=num_data.shape[0],
                                cat_keys=tuple(keys))
-    codes = schema.encode(np.where(cat_null,
-                                   np.array([k[0] if k else 0 for k in schema.cat_keys])[None, :] if schema.cat_cols else cat_data,
-                                   cat_data)) if schema.cat_cols else np.zeros((n, 0), np.int32)
+    if schema.cat_cols:
+        filler = np.array([k[0] if k else 0 for k in schema.cat_keys])
+        filled = np.where(cat_null, filler[:, None], cat_data)
+        codes = schema.encode(filled.T).T
+    else:
+        codes = np.zeros((0, n), np.int32)
     if not num_names:
-        num_names = tuple(f"num{j}" for j in range(num_data.shape[1]))
+        num_names = tuple(f"num{j}" for j in range(num_data.shape[0]))
     if not cat_names:
-        cat_names = tuple(f"cat{j}" for j in range(cat_data.shape[1]))
+        cat_names = tuple(f"cat{j}" for j in range(cat_data.shape[0]))
     return Table(
         num_data=jnp.asarray(np.where(num_null, 0.0, num_data), jnp.float32),
         cat_codes=jnp.asarray(codes, jnp.int32),

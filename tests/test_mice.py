@@ -55,17 +55,17 @@ def test_mice_baseline_improves_over_mean_fill(iris_mcar):
         mask = num_null[:, j]
         truth = num[mask, j]
         mean_rmse = np.sqrt(np.mean(
-            (np.asarray(filled.num_data)[mask, j] - truth) ** 2))
+            (np.asarray(filled.num_data)[j, mask] - truth) ** 2))
         mice_rmse = np.sqrt(np.mean(
-            (np.asarray(out.num_data)[mask, j] - truth) ** 2))
+            (np.asarray(out.num_data)[j, mask] - truth) ** 2))
         assert mice_rmse < mean_rmse * 0.8, (j, mice_rmse, mean_rmse)
 
     mask = cat_null[:, 0]
-    acc = (out.cat_values()[mask, 0] == cat[mask, 0]).mean()
+    acc = (out.cat_values()[0, mask] == cat[mask, 0]).mean()
     assert acc > 0.8, acc
     # observed cells must be untouched
     np.testing.assert_array_equal(
-        np.asarray(out.num_data)[~num_null[:, 0], 0], num[~num_null[:, 0], 0])
+        np.asarray(out.num_data)[0, ~num_null[:, 0]], num[~num_null[:, 0], 0])
 
 
 def test_low_and_high_train_triples_match_baseline(iris_mcar):
@@ -77,23 +77,24 @@ def test_low_and_high_train_triples_match_baseline(iris_mcar):
     schema = t.schema
     full = sum_to_triple(t.num_data, t.cat_codes, None, schema=schema)
     static = sum_to_triple(
-        t.num_data[parts.complete_idx], t.cat_codes[parts.complete_idx],
-        None, schema=schema)
+        t.num_data[:, parts.complete_idx],
+        t.cat_codes[:, parts.complete_idx], None, schema=schema)
 
     for kind, col, dirty in (("num", 0, parts.num_dirty_idx[0]),
                              ("cat", 0, parts.cat_dirty_idx[0])):
         w = observed_weights(t, kind, col)
         baseline = sum_to_triple(t.num_data, t.cat_codes, w, schema=schema)
 
-        delta = sum_to_triple(t.num_data[dirty], t.cat_codes[dirty], None,
-                              schema=schema)
+        delta = sum_to_triple(t.num_data[:, dirty], t.cat_codes[:, dirty],
+                              None, schema=schema)
         low_train = triple_sub(full, delta)
 
-        mask = (np.asarray(t.num_null)[:, col] if kind == "num"
-                else np.asarray(t.cat_null)[:, col])
+        mask = (np.asarray(t.num_null)[col] if kind == "num"
+                else np.asarray(t.cat_null)[col])
         obs_dirty = np.nonzero((parts.null_counts > 0) & ~mask)[0]
-        delta_h = sum_to_triple(t.num_data[obs_dirty],
-                                t.cat_codes[obs_dirty], None, schema=schema)
+        delta_h = sum_to_triple(t.num_data[:, obs_dirty],
+                                t.cat_codes[:, obs_dirty], None,
+                                schema=schema)
         high_train = triple_add(static, delta_h)
 
         for cand in (low_train, high_train):
@@ -123,5 +124,5 @@ def test_mice_high_runs(iris_mcar):
     num, cat, num_null, cat_null = iris_mcar
     mask = num_null[:, 0]
     rmse = np.sqrt(np.mean(
-        (np.asarray(out.num_data)[mask, 0] - num[mask, 0]) ** 2))
+        (np.asarray(out.num_data)[0, mask] - num[mask, 0]) ** 2))
     assert rmse < 0.7, rmse

@@ -71,12 +71,12 @@ def test_linreg_numeric_parity(iris):
     xtr, xte, ytr, yte = iris
     cat_tr = ytr[:, None]
     schema = FeatureSchema.infer(xtr, cat_tr)
-    t = sum_to_triple(xtr, schema.encode(cat_tr), schema=schema)
+    t = sum_to_triple(xtr.T, schema.encode(cat_tr).T, schema=schema)
     for normalize in (False, True):
         params = linreg_train(t, schema, label=0, step_size=0.001, lam=0.0,
                               max_iters=10000, normalize=normalize)
         pred = np.asarray(linreg_predict(
-            params, xte[:, 1:], schema.encode(yte[:, None]),
+            params, xte[:, 1:].T, schema.encode(yte[:, None]).T,
             normalize=normalize))
         r2 = r2_score(xte[:, 0], pred)
 
@@ -98,10 +98,10 @@ def test_linreg_categorical_close(iris_cat):
     num_tr = xtr_n[:, [1, 0]]  # label first ordering: [p_width, p_length]?
     # keep natural order: num cols = [p_length, p_width], label = 0
     schema = FeatureSchema.infer(xtr_n, cat_tr)
-    t = sum_to_triple(xtr_n, schema.encode(cat_tr), schema=schema)
+    t = sum_to_triple(xtr_n.T, schema.encode(cat_tr).T, schema=schema)
     params = linreg_train(t, schema, label=0, max_iters=10000)
-    pred = np.asarray(linreg_predict(params, xte_n[:, 1:],
-                                     schema.encode(cat_te)))
+    pred = np.asarray(linreg_predict(params, xte_n[:, 1:].T,
+                                     schema.encode(cat_te).T))
     r2 = r2_score(xte_n[:, 0], pred)
 
     sizes = [len(k) for k in schema.cat_keys]
@@ -118,11 +118,11 @@ def test_lda_numeric_parity(iris):
     xtr, xte, ytr, yte = iris
     cat_tr = ytr[:, None]
     schema = FeatureSchema.infer(xtr, cat_tr)
-    t = sum_to_triple(xtr, schema.encode(cat_tr), schema=schema)
+    t = sum_to_triple(xtr.T, schema.encode(cat_tr).T, schema=schema)
     for normalize in (False, True):
         params = lda_train(t, schema, label=0, shrinkage=0.0,
                            normalize=normalize)
-        pred = np.asarray(lda_predict(params, xte, normalize=normalize))
+        pred = np.asarray(lda_predict(params, xte.T, normalize=normalize))
         # lda_predict returns the class INDEX; iris classes are 0,1,2 sorted
         acc = accuracy_score(yte, pred)
         clf = LinearDiscriminantAnalysis(solver="lsqr").fit(xtr, ytr)
@@ -136,12 +136,13 @@ def test_lda_categorical_parity(iris_cat):
     xtr_n, xte_n, xtr_c, xte_c, ytr, yte = iris_cat
     cat_tr = np.concatenate([xtr_c, ytr[:, None]], axis=1)
     schema = FeatureSchema.infer(xtr_n, cat_tr)
-    t = sum_to_triple(xtr_n, schema.encode(cat_tr), schema=schema)
+    t = sum_to_triple(xtr_n.T, schema.encode(cat_tr).T, schema=schema)
     label = 2  # target is the 3rd categorical column
     params = lda_train(t, schema, label=label, shrinkage=0.01)
     from duckdb_imputation_tpu.models.sigma import select_vocab
     sel = select_vocab(schema, exclude_cat=label)
-    pred = np.asarray(lda_predict(params, xte_n, sel.schema.encode(xte_c)))
+    pred = np.asarray(lda_predict(params, xte_n.T,
+                                  sel.schema.encode(xte_c).T))
     acc = accuracy_score(yte, pred)
 
     sizes = [len(k) for k in schema.cat_keys[:2]]
@@ -157,12 +158,12 @@ def test_qda_numeric_parity(iris):
     """test_QDA.py:44-69 — per-class triples, accuracy vs sklearn QDA."""
     xtr, xte, ytr, yte = iris
     schema = FeatureSchema.infer(xtr, None)
-    triples = sum_to_triple_grouped(xtr, None, ytr, schema=schema,
+    triples = sum_to_triple_grouped(xtr.T, None, ytr, schema=schema,
                                     num_groups=3)
     for normalize in (False, True):
         params = qda_train(triples, schema, labels=[0, 1, 2],
                            normalize=normalize)
-        pred = np.asarray(qda_predict(params, xte, normalize=normalize))
+        pred = np.asarray(qda_predict(params, xte.T, normalize=normalize))
         acc = accuracy_score(yte, pred)
         clf = QuadraticDiscriminantAnalysis().fit(xtr, ytr)
         acc_sk = clf.score(xte, yte)
@@ -173,9 +174,10 @@ def test_nb_numeric_parity(iris):
     """test_NB.py:47-72 — grouped NB aggregates, accuracy vs GaussianNB."""
     xtr, xte, ytr, yte = iris
     schema = FeatureSchema.infer(xtr, None)
-    aggs = sum_to_nb_agg_grouped(xtr, None, ytr, schema=schema, num_groups=3)
+    aggs = sum_to_nb_agg_grouped(xtr.T, None, ytr, schema=schema,
+                                 num_groups=3)
     params = nb_train(aggs, schema, labels=[0, 1, 2])
-    pred = np.asarray(nb_predict(params, xte))
+    pred = np.asarray(nb_predict(params, xte.T))
     acc = accuracy_score(yte, pred)
     clf = GaussianNB().fit(xtr, ytr)
     acc_sk = clf.score(xte, yte)
@@ -189,10 +191,10 @@ def test_nb_mixed_self_consistent(iris_cat):
     xtr_n, xte_n, xtr_c, xte_c, ytr, yte = iris_cat
     schema = FeatureSchema.infer(xtr_n, xtr_c)
     codes_tr = schema.encode(xtr_c)
-    aggs = sum_to_nb_agg_grouped(xtr_n, codes_tr, ytr, schema=schema,
+    aggs = sum_to_nb_agg_grouped(xtr_n.T, codes_tr.T, ytr, schema=schema,
                                  num_groups=3)
     params = nb_train(aggs, schema, labels=[0, 1, 2])
-    pred = np.asarray(nb_predict(params, xte_n, schema.encode(xte_c)))
+    pred = np.asarray(nb_predict(params, xte_n.T, schema.encode(xte_c).T))
 
     # direct numpy NB with the same estimator definitions
     probs = np.zeros((len(xte_n), 3))
@@ -223,14 +225,14 @@ def test_linreg_noise_distribution(iris):
     xtr, xte, ytr, yte = iris
     cat_tr = ytr[:, None]
     schema = FeatureSchema.infer(xtr, cat_tr)
-    t = sum_to_triple(xtr, schema.encode(cat_tr), schema=schema)
+    t = sum_to_triple(xtr.T, schema.encode(cat_tr).T, schema=schema)
     params = linreg_train(t, schema, label=0, compute_variance=True)
     std = float(params[-1])
     assert std > 0
-    base = np.asarray(linreg_predict(params, xte[:, 1:],
-                                     schema.encode(yte[:, None])))
+    base = np.asarray(linreg_predict(params, xte[:, 1:].T,
+                                     schema.encode(yte[:, None]).T))
     noisy = np.asarray(linreg_predict(
-        params, xte[:, 1:], schema.encode(yte[:, None]), add_noise=True,
+        params, xte[:, 1:].T, schema.encode(yte[:, None]).T, add_noise=True,
         key=jax.random.PRNGKey(7)))
     resid = noisy - base
     assert abs(resid.std() - std) / std < 0.5
