@@ -160,9 +160,14 @@ def sum_to_triple(x_num=None, codes=None, weights=None, *,
       codes: i32[c, n] LOCAL per-column category codes (FeatureSchema.encode).
       weights: f32[n] row weights; 0 = filtered out (fuses WHERE masks).
       backend: 'auto' | 'xla' | 'pallas' — pallas uses the lane-packed MXU
-        kernel (TPU only)."""
+        kernel (TPU only). 'auto' picks pallas only for large n: kernel
+        compile latency (remote-compile tunnel) isn't worth paying for
+        small aggregations."""
+    n = (x_num.shape[-1] if x_num is not None
+         else jnp.asarray(codes).shape[-1])
     use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() not in ("cpu",))
+        backend == "auto" and jax.default_backend() not in ("cpu",)
+        and n >= (1 << 20))
     if use_pallas:
         from .kernels.sigma_pallas import sigma_pallas_padded
         x_num2, codes2, weights2, _ = _normalize_inputs(x_num, codes, weights)

@@ -1,0 +1,167 @@
+"""ctypes binding for the native columnar store / CSV loader
+(native/columnar.cpp) — the C++ host-runtime half of the framework: parse
+and encode on CPU threads, hand dense features-first buffers to JAX.
+
+Auto-builds the shared library with `make` on first use if missing.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+from ..schema import FeatureSchema
+from .table import Table, from_numpy
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libdbi_native.so"))
+_lib = None
+
+
+def _build():
+    subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)], check=True,
+                   capture_output=True)
+
+
+def load_library() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        _build()
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.dbi_load_csv.restype = ctypes.c_void_p
+    lib.dbi_load_csv.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.dbi_free.argtypes = [ctypes.c_void_p]
+    lib.dbi_error.restype = ctypes.c_char_p
+    lib.dbi_error.argtypes = [ctypes.c_void_p]
+    lib.dbi_n_rows.restype = ctypes.c_int64
+    lib.dbi_n_rows.argtypes = [ctypes.c_void_p]
+    lib.dbi_n_cols.restype = ctypes.c_int64
+    lib.dbi_n_cols.argtypes = [ctypes.c_void_p]
+    lib.dbi_col_is_numeric.restype = ctypes.c_int
+    lib.dbi_col_is_numeric.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_name.restype = ctypes.c_char_p
+    lib.dbi_col_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_f32.restype = ctypes.POINTER(ctypes.c_float)
+    lib.dbi_col_f32.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_i64.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.dbi_col_i64.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_null_mask.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.dbi_col_null_mask.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_vocab_size.restype = ctypes.c_int64
+    lib.dbi_col_vocab_size.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_vocab.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.dbi_col_vocab.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_codes.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.dbi_col_codes.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_swap_col_f32.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                     ctypes.POINTER(ctypes.c_float)]
+    lib.dbi_swap_col_codes.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                       ctypes.POINTER(ctypes.c_int32)]
+    _lib = lib
+    return lib
+
+
+class NativeTable:
+    """Thin RAII wrapper over the native table handle with zero-copy numpy
+    views of the columnar buffers."""
+
+    def __init__(self, handle, lib):
+        self._h = handle
+        self._lib = lib
+        err = lib.dbi_error(handle)
+        if err:
+            raise RuntimeError(err.decode())
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.dbi_free(self._h)
+            self._h = None
+
+    @property
+    def n_rows(self) -> int:
+        return self._lib.dbi_n_rows(self._h)
+
+    @property
+    def n_cols(self) -> int:
+        return self._lib.dbi_n_cols(self._h)
+
+    def col_name(self, c: int) -> str:
+        return self._lib.dbi_col_name(self._h, c).decode()
+
+    def is_numeric(self, c: int) -> bool:
+        return bool(self._lib.dbi_col_is_numeric(self._h, c))
+
+    def _view(self, ptr, dtype):
+        return np.ctypeslib.as_array(ptr, shape=(self.n_rows,)).view(dtype)
+
+    def col_f32(self, c: int) -> np.ndarray:
+        return np.ctypeslib.as_array(self._lib.dbi_col_f32(self._h, c),
+                                     shape=(self.n_rows,))
+
+    def col_i64(self, c: int) -> np.ndarray:
+        return np.ctypeslib.as_array(self._lib.dbi_col_i64(self._h, c),
+                                     shape=(self.n_rows,))
+
+    def col_null(self, c: int) -> np.ndarray:
+        return np.ctypeslib.as_array(
+            self._lib.dbi_col_null_mask(self._h, c),
+            shape=(self.n_rows,)).astype(bool)
+
+    def col_vocab(self, c: int) -> np.ndarray:
+        v = self._lib.dbi_col_vocab_size(self._h, c)
+        if v == 0:
+            return np.zeros((0,), np.int64)
+        return np.ctypeslib.as_array(self._lib.dbi_col_vocab(self._h, c),
+                                     shape=(v,))
+
+    def col_codes(self, c: int) -> np.ndarray:
+        return np.ctypeslib.as_array(self._lib.dbi_col_codes(self._h, c),
+                                     shape=(self.n_rows,))
+
+    def swap_col_f32(self, c: int, values: np.ndarray) -> None:
+        values = np.ascontiguousarray(values, np.float32)
+        self._lib.dbi_swap_col_f32(
+            self._h, c, values.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+
+    def to_table(self) -> Table:
+        """Assemble the device Table (features-first + null masks + schema)
+        from the native buffers."""
+        num_idx = [c for c in range(self.n_cols) if self.is_numeric(c)]
+        cat_idx = [c for c in range(self.n_cols) if not self.is_numeric(c)]
+        n = self.n_rows
+        num = np.zeros((len(num_idx), n), np.float32)
+        num_null = np.zeros((len(num_idx), n), bool)
+        for j, c in enumerate(num_idx):
+            num[j] = self.col_f32(c)
+            num_null[j] = self.col_null(c)
+        cat = np.zeros((len(cat_idx), n), np.int64)
+        cat_null = np.zeros((len(cat_idx), n), bool)
+        keys = []
+        for j, c in enumerate(cat_idx):
+            cat[j] = self.col_i64(c)
+            cat_null[j] = self.col_null(c)
+            keys.append(tuple(int(v) for v in self.col_vocab(c)))
+        schema = FeatureSchema(num_cols=len(num_idx), cat_keys=tuple(keys))
+        return from_numpy(
+            num, cat, num_null, cat_null,
+            num_names=tuple(self.col_name(c) for c in num_idx),
+            cat_names=tuple(self.col_name(c) for c in cat_idx),
+            schema=schema, rows_first=False)
+
+
+def load_csv(path: str, has_header: bool = True,
+             n_threads: int = 0) -> NativeTable:
+    """Load a CSV through the native multithreaded parser."""
+    lib = load_library()
+    h = lib.dbi_load_csv(path.encode(), 1 if has_header else 0, n_threads)
+    return NativeTable(h, lib)
+
+
+def read_csv(path: str, has_header: bool = True) -> Table:
+    """CSV -> device Table in one call (the framework's data-loading front
+    door)."""
+    return load_csv(path, has_header).to_table()
