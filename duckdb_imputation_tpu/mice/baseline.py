@@ -44,6 +44,7 @@ def run_mice_baseline(t: Table, num_null_cols=None, cat_null_cols=None,
                       linreg_step: float = 0.001, linreg_lambda: float = 0.0,
                       linreg_iters: int = 10000, noise: bool = True,
                       seed: int = 0, timer: PhaseTimer | None = None,
+                  on_iteration=None, start_iter: int = 0,
                       aggregate=sum_to_triple) -> Table:
     """Run MICE and return the imputed table.
 
@@ -63,7 +64,7 @@ def run_mice_baseline(t: Table, num_null_cols=None, cat_null_cols=None,
                              if bool(np.asarray(t.cat_null[j]).any())]
     key = jax.random.PRNGKey(seed)
 
-    for it in range(iters):
+    for it in range(start_iter, iters):
         # categorical columns first (imputation_base.cpp:18-87)
         for col in cat_null_cols:
             with timer.phase("cofactor"):
@@ -96,4 +97,6 @@ def run_mice_baseline(t: Table, num_null_cols=None, cat_null_cols=None,
                                       codes if schema.cat_cols else None,
                                       add_noise=noise, key=sub)
                 t = t.with_num_col(col, pred)
+        if on_iteration is not None:
+            on_iteration(t, it)
     return t

@@ -42,6 +42,7 @@ def run_mice_high(t: Table, num_null_cols=None, cat_null_cols=None,
                   linreg_step: float = 0.001, linreg_lambda: float = 0.0,
                   linreg_iters: int = 10000, noise: bool = True,
                   seed: int = 0, timer: PhaseTimer | None = None,
+                  on_iteration=None, start_iter: int = 0,
                   aggregate=sum_to_triple) -> Table:
     timer = timer or PhaseTimer()
     with timer.phase("prepare"):
@@ -68,7 +69,7 @@ def run_mice_high(t: Table, num_null_cols=None, cat_null_cols=None,
         static = _subset_triple(t, parts.complete_idx, aggregate)
     key = jax.random.PRNGKey(seed)
 
-    for it in range(iters):
+    for it in range(start_iter, iters):
         for col in cat_null_cols:
             with timer.phase("cofactor_delta"):
                 delta = _subset_triple(t, cat_obs_dirty[col], aggregate)
@@ -110,4 +111,6 @@ def run_mice_high(t: Table, num_null_cols=None, cat_null_cols=None,
                 t = t.with_num_col(
                     col, t.num_data[col].at[jdx].set(pred),
                     only_null=False)
+        if on_iteration is not None:
+            on_iteration(t, it)
     return t

@@ -43,6 +43,7 @@ def run_mice_low(t: Table, num_null_cols=None, cat_null_cols=None,
                  linreg_step: float = 0.001, linreg_lambda: float = 0.0,
                  linreg_iters: int = 10000, noise: bool = True, seed: int = 0,
                  timer: PhaseTimer | None = None,
+                 on_iteration=None, start_iter: int = 0,
                  aggregate=sum_to_triple) -> Table:
     timer = timer or PhaseTimer()
     with timer.phase("prepare"):
@@ -59,7 +60,7 @@ def run_mice_low(t: Table, num_null_cols=None, cat_null_cols=None,
         full = aggregate(t.num_data, t.cat_codes, None, schema=schema)
     key = jax.random.PRNGKey(seed)
 
-    for it in range(iters):
+    for it in range(start_iter, iters):
         for col in cat_null_cols:
             idx = parts.cat_dirty_idx[col]
             with timer.phase("cofactor_delta"):
@@ -106,4 +107,6 @@ def run_mice_low(t: Table, num_null_cols=None, cat_null_cols=None,
                     only_null=False)
             with timer.phase("cofactor_readd"):
                 full = triple_add(train, _delta(t, idx, aggregate))
+        if on_iteration is not None:
+            on_iteration(t, it)
     return t

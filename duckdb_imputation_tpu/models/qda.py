@@ -97,7 +97,14 @@ def qda_train(triples: Triple, schema: FeatureSchema, labels,
 
         u, sv, vt = np.linalg.svd(cov)
         ss = np.where(sv > 1e-9, 1.0 / np.where(sv > 1e-9, sv, 1.0), sv)
-        det = float(np.prod(sv))
+        # pseudo-determinant: product of the singular values that survive
+        # the 1e-9 cutoff. The reference takes Π over ALL of them
+        # (qda.cpp:233-235), which is identical for full-rank covariances
+        # but collapses to log(0) = -inf intercepts when a category is
+        # absent within a class (exact zero singular values) — singular
+        # categorical QDA is unusable there; the log-pseudo-det is the
+        # principled degenerate-gaussian value.
+        det = float(np.prod(np.where(sv > 1e-9, sv, 1.0)))
         inva = (vt.T * ss) @ u.T
 
         if normalize:

@@ -190,16 +190,58 @@ def _grouped_sigma(x_num, codes, weights, group_ids, *, schema: FeatureSchema,
 
 def sum_to_triple_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
                           num_groups: int, weights=None,
-                          row_chunk: int = DEFAULT_ROW_CHUNK) -> Triple:
+                          row_chunk: int = DEFAULT_ROW_CHUNK,
+                          method: str = "auto") -> Triple:
     """GROUP BY aggregation: one triple per group id in [0, num_groups).
 
     Replaces the reference's per-group hash-aggregation (DuckDB GROUP BY over
     SumState); per-class triples for QDA/LDA/NB come out of one data pass.
-    Rows with group_ids outside [0, num_groups) are dropped."""
+    Rows with group_ids outside [0, num_groups) are dropped.
+
+    method:
+      'masked' — per-group weight masks vmapped over groups: G full passes
+        over the data (cheap for small G, skew-immune, fully jittable).
+      'sorted' — counting-sort rows by group id (host), then one
+        contiguous-segment Gram per group: TOTAL work is a single data pass
+        regardless of G — the hash-aggregation analogue. Skew-immune too:
+        a hot key just owns a longer contiguous range.
+      'auto' — sorted for large n·G, masked otherwise."""
     x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
-    sigma = _grouped_sigma(x_num, codes, weights,
-                           jnp.asarray(group_ids), schema=schema,
-                           num_groups=num_groups, row_chunk=row_chunk)
+    if method == "auto":
+        method = "sorted" if (n * num_groups >= (1 << 22)
+                              and num_groups > 2) else "masked"
+    if method == "sorted":
+        g = np.asarray(jax.device_get(jnp.asarray(group_ids)))
+        order = np.argsort(g, kind="stable")
+        counts = np.bincount(np.clip(g, 0, num_groups),
+                             minlength=num_groups + 1)[:num_groups]
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        jord = jnp.asarray(order)
+        xs = x_num[:, jord]
+        cs = codes[:, jord]
+        ws = weights[jord]
+        sigmas = []
+        for gidx in range(num_groups):
+            lo, hi = int(starts[gidx]), int(ends[gidx])
+            if hi == lo:
+                sigmas.append(jnp.zeros((schema.sigma_size,) * 2, jnp.float32))
+                continue
+            # bucket segment length to the next power of two (zero-weight
+            # pad) so the number of distinct compiled shapes stays O(log n)
+            size = hi - lo
+            bucket = 1 << (size - 1).bit_length()
+            pad = bucket - size
+            xg = jnp.pad(xs[:, lo:hi], ((0, 0), (0, pad)))
+            cg = jnp.pad(cs[:, lo:hi], ((0, 0), (0, pad)))
+            wg = jnp.pad(ws[lo:hi], (0, pad))
+            sigmas.append(masked_sigma(xg, cg, wg, schema=schema,
+                                       row_chunk=row_chunk))
+        sigma = jnp.stack(sigmas)
+    else:
+        sigma = _grouped_sigma(x_num, codes, weights,
+                               jnp.asarray(group_ids), schema=schema,
+                               num_groups=num_groups, row_chunk=row_chunk)
     return triple_from_sigma(sigma, schema.num_cols)
 
 

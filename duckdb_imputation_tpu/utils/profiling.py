@@ -34,3 +34,19 @@ class PhaseTimer:
         lines = [f"{k}: {v * 1e3:.1f} ms ({self.counts[k]}x)"
                  for k, v in sorted(self.totals.items())]
         return "\n".join(lines)
+
+    def to_json(self) -> str:
+        import json
+        return json.dumps({k: {"total_s": v, "count": self.counts[k]}
+                           for k, v in self.totals.items()})
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler trace (perfetto/tensorboard-compatible) of
+    everything inside the context — the structured replacement for the
+    reference's chrono-printf instrumentation."""
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield
