@@ -4,7 +4,8 @@ from .sharded import (
     sum_to_triple_grouped_sharded,
     sum_to_triple_sharded,
 )
+from .sharded2d import make_mesh_2d, sum_to_triple_sharded2d
 
 __all__ = ["DATA_AXIS", "make_mesh", "replicated", "row_sharding",
            "build_vocab_sharded", "sum_to_triple_grouped_sharded",
-           "sum_to_triple_sharded"]
+           "sum_to_triple_sharded", "make_mesh_2d", "sum_to_triple_sharded2d"]

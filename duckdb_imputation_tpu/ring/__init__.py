@@ -21,6 +21,7 @@ from .sum import (
     sum_to_triple_grouped,
     sum_triples,
 )
+from .striped import sigma_stripe, sigma_striped
 from .serialize import (
     dict_to_nb,
     dict_to_triple,
@@ -37,4 +38,5 @@ __all__ = [
     "sum_to_nb_agg", "sum_to_nb_agg_grouped", "sum_to_triple",
     "sum_to_triple_grouped", "sum_triples", "dict_to_nb", "dict_to_triple",
     "nb_to_dict", "pack_upper", "triple_to_dict", "unpack_upper",
+    "sigma_stripe", "sigma_striped",
 ]

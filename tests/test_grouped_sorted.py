@@ -45,3 +45,24 @@ def test_sorted_empty_groups():
     num, codes, g, schema = _data(n=500)
     g = np.where(g >= 3, 6, g).astype(np.int32)  # groups 3,4,5 empty
     _check(num, codes, g, schema)
+
+
+def test_striped_sigma_equals_full():
+    """Large-vocab striped evaluation reassembles to the full sigma."""
+    import numpy as np
+    from duckdb_imputation_tpu.ring.striped import sigma_striped
+    from duckdb_imputation_tpu.ring.sum import masked_sigma
+    from duckdb_imputation_tpu.ring.triple import sigma_from_triple
+
+    rng = np.random.default_rng(1)
+    n = 4000
+    num = rng.normal(size=(2, n)).astype(np.float32)
+    codes = rng.integers(0, 40, size=(2, n)).astype(np.int32)
+    w = (rng.random(n) > 0.3).astype(np.float32)
+    schema = FeatureSchema(num_cols=2,
+                           cat_keys=(tuple(range(40)), tuple(range(40))))
+    full = np.asarray(masked_sigma(num, codes, w, schema=schema))
+    out = np.zeros_like(full)
+    for lo, block in sigma_striped(num, codes, w, schema=schema, stripe=17):
+        out[:, lo:lo + block.shape[1]] = np.asarray(block)
+    np.testing.assert_allclose(out, full, rtol=1e-6, atol=1e-3)

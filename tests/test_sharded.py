@@ -132,3 +132,25 @@ def test_full_mice_column_step_shards(table):
         label=0, max_iters=50)
     assert np.isfinite(np.asarray(new_x)).all()
     assert np.isfinite(np.asarray(coeff)).all()
+
+
+def test_sharded_2d_equals_single(table):
+    """Rows over 'data' x sigma columns over 'model' (4x2 mesh) == single
+    device result."""
+    from duckdb_imputation_tpu.parallel.sharded2d import (
+        make_mesh_2d,
+        sum_to_triple_sharded2d,
+    )
+    num, cat, g, w, schema = table
+    codes = schema.encode(cat).T
+    single = sum_to_triple(num.T, codes, w, schema=schema)
+    mesh = make_mesh_2d(4, 2)
+    shard = sum_to_triple_sharded2d(num.T, codes, w, schema=schema,
+                                    mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(shard.n), np.asarray(single.n))
+    np.testing.assert_array_equal(np.asarray(shard.lin_cat),
+                                  np.asarray(single.lin_cat))
+    np.testing.assert_allclose(np.asarray(shard.quad),
+                               np.asarray(single.quad), rtol=1e-6, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(shard.cat_cat),
+                                  np.asarray(single.cat_cat))
