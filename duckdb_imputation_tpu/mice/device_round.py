@@ -1,0 +1,165 @@
+"""Fully on-device MICE rounds — one jit per round (or per run).
+
+The host-driven drivers (baseline/low/high) mirror the reference's
+client↔engine round trips (imputation_base.cpp: one SQL query per phase).
+On TPU every dispatch costs host latency, so the production path fuses the
+ENTIRE round — for every null column: masked cofactor aggregation → train →
+batched predict → masked write-back — into one compiled program
+(`mice_round_device`), and `run_mice_device` runs all rounds inside a single
+lax.fori_loop: the whole MICE loop is ONE dispatch.
+
+Training inside jit:
+  * continuous columns: the reference's GD loop as lax.while_loop
+    (models/device.linreg_train_device);
+  * categorical columns: device LDA — label-excluded sigma gathers (static
+    index sets), class sums pulled from the triple's own categorical
+    sections, pooled covariance + shrinkage, lstsq solve (SVD-backed,
+    jittable), argmax predict. f32 on-device (the host f64 trainers remain
+    the parity reference).
+
+Noise for stochastic regression uses a per-(round, column) fold of the
+PRNG key.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schema import FeatureSchema
+from ..ring.sum import _zt_block, masked_sigma
+from ..models.device import linreg_train_device
+from ..table.table import Table
+
+
+def _lda_device(sigma: jax.Array, schema: FeatureSchema, label: int,
+                shrinkage: float):
+    """Device LDA from the full sigma: returns (W [m, C], intercept [C],
+    keep_idx) where features = [num cols ‖ non-label one-hot]."""
+    d = schema.num_cols
+    offs = schema.offsets
+    lab_lo = 1 + d + offs[label]
+    lab_hi = 1 + d + offs[label + 1]
+    n_classes = offs[label + 1] - offs[label]
+    keep = np.asarray(
+        [i for i in range(schema.sigma_size)
+         if not (lab_lo <= i < lab_hi)], np.int32)
+    sig = sigma[jnp.ix_(jnp.asarray(keep), jnp.asarray(keep))]
+    n_total = sigma[0, 0]
+
+    # class sums from the label block rows (the factorized GROUP BY label)
+    sums = sigma[lab_lo:lab_hi][:, jnp.asarray(keep)]       # [C, P']
+    counts = sums[:, 0]                                      # [C]
+
+    m = len(keep) - 1
+    cov = sig[1:, 1:]
+    mean_c = sums[:, 1:] / counts[:, None]                   # [C, m]
+    cov = cov - jnp.einsum("ci,cj->ij", sums[:, 1:] / jnp.sqrt(counts)[:, None],
+                           sums[:, 1:] / jnp.sqrt(counts)[:, None])
+    mu = jnp.trace(cov) / m
+    cov = cov * (1.0 - shrinkage) + shrinkage * mu * jnp.eye(m)
+    cov = cov / n_total
+    w = jnp.linalg.lstsq(cov, mean_c.T)[0]                   # [m, C]
+    intercept = (-0.5 * jnp.einsum("cm,mc->c", mean_c, w)
+                 + jnp.log(counts / n_total))
+    return w, intercept, keep
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
+                     "gd_iters", "lda_shrinkage", "noise"))
+def mice_round_device(x_num, codes, num_null, cat_null, key, *,
+                      schema: FeatureSchema,
+                      num_cols_to_impute: tuple[int, ...],
+                      cat_cols_to_impute: tuple[int, ...],
+                      gd_iters: int = 500, lda_shrinkage: float = 0.001,
+                      noise: bool = False):
+    """One MICE round, entirely on device. Arrays are features-first.
+    Returns (x_num, codes, key)."""
+    d = schema.num_cols
+    offs = schema.offsets
+
+    # categorical columns first (imputation_base.cpp:18-87 ordering)
+    for col in cat_cols_to_impute:
+        w_mask = 1.0 - cat_null[col].astype(jnp.float32)
+        sigma = masked_sigma(x_num, codes, w_mask, schema=schema)
+        w, intercept, keep = _lda_device(sigma, schema, col, lda_shrinkage)
+        zt = _zt_block(x_num, codes, schema)
+        feats = zt[jnp.asarray(keep[1:])]                   # [m, n]
+        scores = w.T @ feats + intercept[:, None]           # [C, n]
+        pred_code = jnp.argmax(scores, axis=0).astype(codes.dtype)
+        new_col = jnp.where(cat_null[col], pred_code, codes[col])
+        codes = codes.at[col].set(new_col)
+
+    for col in num_cols_to_impute:
+        w_mask = 1.0 - num_null[col].astype(jnp.float32)
+        sigma = masked_sigma(x_num, codes, w_mask, schema=schema)
+        coeff = linreg_train_device(sigma, label=col + 1,
+                                    max_iters=gd_iters)
+        zt = _zt_block(x_num, codes, schema)
+        theta = coeff * (1.0 - jax.nn.one_hot(col + 1, coeff.shape[0],
+                                              dtype=coeff.dtype))
+        pred = theta @ zt
+        if noise:
+            key, sub = jax.random.split(key)
+            theta_full = coeff.at[col + 1].set(-1.0)
+            var = (theta_full @ sigma @ theta_full
+                   / jnp.maximum(sigma[0, 0], 1.0))
+            pred = pred + jnp.sqrt(jnp.maximum(var, 0.0)) \
+                * jax.random.normal(sub, pred.shape)
+        new_col = jnp.where(num_null[col], pred, x_num[col])
+        x_num = x_num.at[col].set(new_col)
+
+    return x_num, codes, key
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
+                     "iters", "gd_iters", "lda_shrinkage", "noise"))
+def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
+                     schema: FeatureSchema,
+                     num_cols_to_impute: tuple[int, ...],
+                     cat_cols_to_impute: tuple[int, ...],
+                     iters: int, gd_iters: int = 500,
+                     lda_shrinkage: float = 0.001, noise: bool = False):
+    """The WHOLE MICE loop in one dispatch: lax.fori_loop over rounds."""
+    def body(_, carry):
+        x, c, k = carry
+        return mice_round_device(
+            x, c, num_null, cat_null, k, schema=schema,
+            num_cols_to_impute=num_cols_to_impute,
+            cat_cols_to_impute=cat_cols_to_impute,
+            gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise)
+    return jax.lax.fori_loop(0, iters, body, (x_num, codes, key))
+
+
+def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
+                    iters: int = 5, *, gd_iters: int = 500,
+                    lda_shrinkage: float = 0.001, noise: bool = False,
+                    seed: int = 0) -> Table:
+    """Host wrapper: mean/mode init, then the single-dispatch device loop."""
+    import dataclasses
+
+    from .partition import init_fill
+
+    t = init_fill(t)
+    schema = t.schema
+    if num_null_cols is None:
+        num_null_cols = tuple(
+            j for j in range(schema.num_cols)
+            if bool(np.asarray(t.num_null[j]).any()))
+    if cat_null_cols is None:
+        cat_null_cols = tuple(
+            j for j in range(schema.cat_cols)
+            if bool(np.asarray(t.cat_null[j]).any()))
+    x, c, _ = mice_loop_device(
+        t.num_data, t.cat_codes, t.num_null, t.cat_null,
+        jax.random.PRNGKey(seed), schema=schema,
+        num_cols_to_impute=tuple(num_null_cols),
+        cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
+        gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise)
+    return dataclasses.replace(t, num_data=x, cat_codes=c)

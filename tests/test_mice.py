@@ -126,3 +126,23 @@ def test_mice_high_runs(iris_mcar):
     rmse = np.sqrt(np.mean(
         (np.asarray(out.num_data)[0, mask] - num[mask, 0]) ** 2))
     assert rmse < 0.7, rmse
+
+
+def test_mice_device_matches_host(iris_mcar):
+    """The single-dispatch on-device MICE loop produces the same imputation
+    quality as the host baseline driver (f32 vs f64 solvers: compare
+    quality, not bitwise)."""
+    from duckdb_imputation_tpu.mice.device_round import run_mice_device
+    num, cat, num_null, cat_null = iris_mcar
+    host = run_mice_baseline(_make_table(iris_mcar), **MICE_KW)
+    dev = run_mice_device(_make_table(iris_mcar), iters=2, gd_iters=300)
+    for j in (0, 3):
+        mask = num_null[:, j]
+        rmse_h = np.sqrt(np.mean(
+            (np.asarray(host.num_data)[j, mask] - num[mask, j]) ** 2))
+        rmse_d = np.sqrt(np.mean(
+            (np.asarray(dev.num_data)[j, mask] - num[mask, j]) ** 2))
+        assert rmse_d < rmse_h * 1.2 + 0.05, (j, rmse_d, rmse_h)
+    mask = cat_null[:, 0]
+    acc = (dev.cat_values()[0, mask] == cat[mask, 0]).mean()
+    assert acc > 0.8, acc
