@@ -110,17 +110,65 @@ def bench_cpu_baseline(schema, n=1_000_000, iters=3):
     return per_core
 
 
+def bench_mice_round(schema, n=10_000_000):
+    """Full MICE round (BASELINE config 5, single chip): masked aggregate +
+    train + predict + write-back for 1 continuous and 1 categorical null
+    column over n rows, via the fused single-dispatch loop."""
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_imputation_tpu.mice.device_round import mice_loop_device
+
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 5)
+        z0 = jax.random.normal(ks[0], (n,))
+        z1 = jax.random.normal(ks[1], (n,))
+        x = jnp.stack([z0, 2 * z0 + z1, z1 - z0,
+                       jax.random.normal(ks[2], (n,))])
+        c = jax.random.randint(ks[3], (2, n), 0, 8, jnp.int32)
+        nn = jnp.zeros((4, n), bool).at[1].set(
+            jax.random.uniform(ks[4], (n,)) < 0.2)
+        cn = jnp.zeros((2, n), bool).at[0].set(
+            jax.random.uniform(ks[0], (n,)) < 0.2)
+        return x, c, nn, cn
+
+    x, c, nn, cn = gen(key)
+    jax.block_until_ready((x, c, nn, cn))
+
+    def run(iters, xx):
+        xo, co, _ = mice_loop_device(
+            xx, c, nn, cn, key, schema=schema,
+            num_cols_to_impute=(1,), cat_cols_to_impute=(0,),
+            iters=jnp.int32(iters), gd_iters=200)
+        return float(np.asarray(xo[1, :4]).sum())
+
+    run(1, x)                                   # compile
+    t0 = time.perf_counter(); run(10, x * 1.000001)
+    d1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); run(210, x * 1.000002)
+    d2 = time.perf_counter() - t0
+    per_round = (d2 - d1) / 200
+    log(f"MICE round @{n} rows (1 num + 1 cat null col): "
+        f"{per_round * 1e3:.1f} ms/round")
+    return per_round
+
+
 def main():
     from duckdb_imputation_tpu import FeatureSchema
     schema = FeatureSchema(
         num_cols=4, cat_keys=(tuple(range(8)), tuple(range(8))))
     rows_per_s = bench_tpu(schema)
     base = bench_cpu_baseline(schema)
+    mice_round_s = bench_mice_round(schema)
     print(json.dumps({
         "metric": "cofactor_agg_rows_per_s_per_chip (sum_to_triple_4_2 masked)",
         "value": round(rows_per_s),
         "unit": "rows/s",
         "vs_baseline": round(rows_per_s / base, 1),
+        "mice_round_ms_10M_rows": round(mice_round_s * 1e3, 1),
     }))
 
 

@@ -119,14 +119,15 @@ def mice_round_device(x_num, codes, num_null, cat_null, key, *,
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "iters", "gd_iters", "lda_shrinkage", "noise"))
+                     "gd_iters", "lda_shrinkage", "noise"))
 def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
                      schema: FeatureSchema,
                      num_cols_to_impute: tuple[int, ...],
                      cat_cols_to_impute: tuple[int, ...],
-                     iters: int, gd_iters: int = 500,
+                     iters, gd_iters: int = 500,
                      lda_shrinkage: float = 0.001, noise: bool = False):
-    """The WHOLE MICE loop in one dispatch: lax.fori_loop over rounds."""
+    """The WHOLE MICE loop in one dispatch: lax.fori_loop over rounds.
+    `iters` may be a traced scalar — one compile serves any round count."""
     def body(_, carry):
         x, c, k = carry
         return mice_round_device(
