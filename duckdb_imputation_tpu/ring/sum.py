@@ -205,11 +205,23 @@ def sum_to_triple_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
         contiguous-segment Gram per group: TOTAL work is a single data pass
         regardless of G — the hash-aggregation analogue. Skew-immune too:
         a hot key just owns a longer contiguous range.
-      'auto' — sorted for large n·G, masked otherwise."""
+      'pallas' — the sorted-segment strategy as ONE kernel launch with a
+        scalar-prefetched block→group map (TPU only; no per-group-size
+        recompiles). See kernels/sigma_pallas_grouped.py.
+      'auto' — pallas on TPU for large n·G, sorted/masked otherwise."""
     x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
     if method == "auto":
-        method = "sorted" if (n * num_groups >= (1 << 22)
-                              and num_groups > 2) else "masked"
+        if (n >= (1 << 20) and num_groups > 2
+                and jax.default_backend() not in ("cpu",)):
+            method = "pallas"
+        else:
+            method = "sorted" if (n * num_groups >= (1 << 22)
+                                  and num_groups > 2) else "masked"
+    if method == "pallas":
+        from .kernels.sigma_pallas_grouped import sum_to_triple_grouped_pallas
+        return sum_to_triple_grouped_pallas(
+            x_num, codes, group_ids, schema=schema, num_groups=num_groups,
+            weights=weights)
     if method == "sorted":
         g = np.asarray(jax.device_get(jnp.asarray(group_ids)))
         order = np.argsort(g, kind="stable")

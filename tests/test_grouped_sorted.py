@@ -66,3 +66,25 @@ def test_striped_sigma_equals_full():
     for lo, block in sigma_striped(num, codes, w, schema=schema, stripe=17):
         out[:, lo:lo + block.shape[1]] = np.asarray(block)
     np.testing.assert_allclose(out, full, rtol=1e-6, atol=1e-3)
+
+
+def test_grouped_pallas_interpret():
+    """The single-launch grouped kernel (interpret mode on CPU) matches the
+    masked path."""
+    import jax
+    from unittest import mock
+    from jax.experimental.pallas import tpu as pltpu
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
+        sum_to_triple_grouped_pallas,
+    )
+    num, codes, g, schema = _data(n=6000)
+    with pltpu.force_tpu_interpret_mode():
+        got = sum_to_triple_grouped_pallas(num, codes, g, schema=schema,
+                                           num_groups=7)
+    ref = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
+                                method="masked")
+    np.testing.assert_array_equal(np.asarray(ref.n), np.asarray(got.n))
+    np.testing.assert_array_equal(np.asarray(ref.lin_cat),
+                                  np.asarray(got.lin_cat))
+    np.testing.assert_allclose(np.asarray(ref.quad), np.asarray(got.quad),
+                               rtol=1e-5, atol=1e-2)
