@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -157,6 +156,8 @@ def bench_mice_round(schema, n=10_000_000):
 
 
 def main():
+    from duckdb_imputation_tpu.config import enable_compilation_cache
+    enable_compilation_cache()
     from duckdb_imputation_tpu import FeatureSchema
     schema = FeatureSchema(
         num_cols=4, cat_keys=(tuple(range(8)), tuple(range(8))))

@@ -122,6 +122,8 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from .config import enable_compilation_cache
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="duckdb_imputation_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

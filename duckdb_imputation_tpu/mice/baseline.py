@@ -18,7 +18,6 @@ target ∈ {0,1,2}).
 """
 from __future__ import annotations
 
-import time
 
 import jax
 import jax.numpy as jnp

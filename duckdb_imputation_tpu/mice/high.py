@@ -32,8 +32,12 @@ from ..utils.profiling import PhaseTimer
 def _subset_triple(t: Table, idx: np.ndarray, aggregate):
     if len(idx) == 0:
         return Triple.zeros(t.schema)
-    jdx = jnp.asarray(idx)
-    return aggregate(t.num_data[:, jdx], t.cat_codes[:, jdx], None,
+    # pow2 bucketing of the gather (see low._delta): bounded compile count
+    size = len(idx)
+    bucket = 1 << (size - 1).bit_length()
+    jdx = jnp.asarray(np.pad(idx, (0, bucket - size)))
+    w = jnp.asarray((np.arange(bucket) < size).astype(np.float32))
+    return aggregate(t.num_data[:, jdx], t.cat_codes[:, jdx], w,
                      schema=t.schema)
 
 

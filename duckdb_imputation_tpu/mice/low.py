@@ -30,11 +30,17 @@ from ..utils.profiling import PhaseTimer
 
 
 def _delta(t: Table, idx: np.ndarray, aggregate):
+    """Triple over a dirty-row subset; the gather is padded to the next
+    power of two with zero-weight rows so compile count stays O(log n)
+    instead of one per distinct dirty-set size."""
     if len(idx) == 0:
         from ..ring.triple import Triple
         return Triple.zeros(t.schema)
-    jdx = jnp.asarray(idx)
-    return aggregate(t.num_data[:, jdx], t.cat_codes[:, jdx], None,
+    size = len(idx)
+    bucket = 1 << (size - 1).bit_length()
+    jdx = jnp.asarray(np.pad(idx, (0, bucket - size)))
+    w = jnp.asarray((np.arange(bucket) < size).astype(np.float32))
+    return aggregate(t.num_data[:, jdx], t.cat_codes[:, jdx], w,
                      schema=t.schema)
 
 

@@ -40,7 +40,6 @@ with lane-packing for small P; `backend="pallas"` routes to it on TPU.
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
