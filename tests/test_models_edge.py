@@ -96,3 +96,57 @@ def test_nb_unseen_category_zeroes(iris_cat):
     bad[:, 0] = 999           # never seen
     pred = np.asarray(nb_predict(params, xte_n.T, schema.encode(bad).T))
     assert (pred == 0).all()
+
+
+def test_lda_1num_4cat_normalize():
+    """The reference's sum_to_triple_1_4 LDA configuration
+    (test_LDA.py:102-150): 1 numeric + 4 categorical (binned) columns,
+    shrinkage 0.01, with and without normalize."""
+    from sklearn.datasets import load_iris
+    from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+    from sklearn.model_selection import train_test_split
+    from duckdb_imputation_tpu.ring import sum_to_triple
+    from duckdb_imputation_tpu.models import lda_train, lda_predict
+    from duckdb_imputation_tpu.models.sigma import select_vocab
+
+    x, y = load_iris(return_X_y=True)
+    est = KBinsDiscretizer(n_bins=4, encode="ordinal", strategy="uniform",
+                           subsample=None)
+    binned = est.fit_transform(x[:, [0, 1, 2]]).astype(np.int64)
+    num = x[:, [3]].astype(np.float32)          # p_width only
+    xtr_n, xte_n, xtr_c, xte_c, ytr, yte = train_test_split(
+        num, binned, y.astype(np.int64), test_size=0.33, random_state=42)
+    cat_tr = np.concatenate([xtr_c, ytr[:, None]], axis=1)
+    schema = FeatureSchema.infer(xtr_n, cat_tr)
+    t = sum_to_triple(xtr_n.T, schema.encode(cat_tr).T, schema=schema)
+    sel = select_vocab(schema, exclude_cat=3)
+    for normalize in (False, True):
+        params = lda_train(t, schema, label=3, shrinkage=0.01,
+                           normalize=normalize)
+        from duckdb_imputation_tpu.models import lda_predict as lp
+        pred = np.asarray(lp(params, xte_n.T, sel.schema.encode(xte_c).T,
+                             normalize=normalize))
+        acc = accuracy_score(yte, pred)
+        assert acc > 0.85, (normalize, acc)
+
+
+def test_api_zero_numeric_grid(ring_test_table):
+    """sum_to_triple_0_3: categorical-only aggregation through the grid."""
+    from duckdb_imputation_tpu import api
+    gb, num, cat = ring_test_table
+    res = api.sum_to_triple_0_3(cat[:, 0], cat[:, 1], cat[:, 2])
+    d = res.to_dict()
+    assert d["N"] == 5 and d["lin_agg"] == [] and d["quad_agg"] == []
+    assert d["lin_cat"][0] == [{"key": 4, "value": 3.0},
+                               {"key": 8, "value": 2.0}]
+
+
+def test_api_zero_categorical_grid(ring_test_table):
+    """sum_to_triple_3_0: numeric-only."""
+    from duckdb_imputation_tpu import api
+    gb, num, cat = ring_test_table
+    res = api.sum_to_triple_3_0(num[:, 0], num[:, 1], num[:, 2])
+    d = res.to_dict()
+    assert d["N"] == 5
+    assert d["lin_agg"] == [15.0, 17.0, 22.0]
+    assert d["quad_cat"] == []
