@@ -119,7 +119,8 @@ def mice_round_device(x_num, codes, num_null, cat_null, key, *,
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "gd_iters", "lda_shrinkage", "noise"))
+                     "gd_iters", "lda_shrinkage", "noise"),
+    donate_argnames=("x_num", "codes"))
 def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
                      schema: FeatureSchema,
                      num_cols_to_impute: tuple[int, ...],
