@@ -42,7 +42,10 @@ def bench_tpu(schema):
     import jax
     import jax.numpy as jnp
 
-    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import sigma_pallas
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        sigma_pallas,
+        sigma_pallas_fast,
+    )
 
     @jax.jit
     def gen(key):
@@ -60,11 +63,12 @@ def bench_tpu(schema):
 
     p = schema.sigma_size
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def loop(x, c, w, iters: int):
+    @functools.partial(jax.jit, static_argnames=("iters", "fast"))
+    def loop(x, c, w, iters: int, fast: bool = True):
+        # masks are binary -> the split-precision fast kernel applies
+        kern = sigma_pallas_fast if fast else sigma_pallas
         def body(i, acc):
-            s = sigma_pallas(x, c, w + 1e-9 * i.astype(jnp.float32),
-                             schema=schema)
+            s = kern(x, c, w * (1.0 + 0.0 * i), schema=schema)
             return acc + s
         return jax.lax.fori_loop(0, iters, body,
                                  jnp.zeros((p, p), jnp.float32))

@@ -164,13 +164,20 @@ def sum_to_triple(x_num=None, codes=None, weights=None, *,
         small aggregations."""
     n = (x_num.shape[-1] if x_num is not None
          else jnp.asarray(codes).shape[-1])
-    use_pallas = backend == "pallas" or (
+    use_pallas = backend in ("pallas", "pallas_fast") or (
         backend == "auto" and jax.default_backend() not in ("cpu",)
         and n >= (1 << 20))
     if use_pallas:
-        from .kernels.sigma_pallas import sigma_pallas_padded
         x_num2, codes2, weights2, _ = _normalize_inputs(x_num, codes, weights)
-        sigma = sigma_pallas_padded(x_num2, codes2, weights2, schema=schema)
+        if backend == "pallas_fast":
+            # split-precision variant — only valid for BINARY weights
+            from .kernels.sigma_pallas import sigma_pallas_fast_padded
+            sigma = sigma_pallas_fast_padded(x_num2, codes2, weights2,
+                                             schema=schema)
+        else:
+            from .kernels.sigma_pallas import sigma_pallas_padded
+            sigma = sigma_pallas_padded(x_num2, codes2, weights2,
+                                        schema=schema)
     else:
         sigma = masked_sigma(x_num, codes, weights, schema=schema,
                              row_chunk=row_chunk)
