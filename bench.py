@@ -68,7 +68,9 @@ def bench_tpu(schema):
         # masks are binary -> the split-precision fast kernel applies
         kern = sigma_pallas_fast if fast else sigma_pallas
         def body(i, acc):
-            s = kern(x, c, w * (1.0 + 0.0 * i), schema=schema)
+            # vary the input per iteration so XLA cannot hoist/CSE the
+            # kernel out of the loop (would fake the slope measurement)
+            s = kern(x, c, w + 1e-9 * i.astype(jnp.float32), schema=schema)
             return acc + s
         return jax.lax.fori_loop(0, iters, body,
                                  jnp.zeros((p, p), jnp.float32))
@@ -142,8 +144,9 @@ def bench_mice_round(schema, n=10_000_000):
     jax.block_until_ready((x, c, nn, cn))
 
     def run(iters, xx):
+        # x/codes are DONATED by the loop — hand over fresh buffers per call
         xo, co, _ = mice_loop_device(
-            xx, c, nn, cn, key, schema=schema,
+            xx + 0.0, c + 0, nn, cn, key, schema=schema,
             num_cols_to_impute=(1,), cat_cols_to_impute=(0,),
             iters=jnp.int32(iters), gd_iters=200)
         return float(np.asarray(xo[1, :4]).sum())

@@ -70,22 +70,28 @@ def _lda_device(sigma: jax.Array, schema: FeatureSchema, label: int,
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "gd_iters", "lda_shrinkage", "noise"))
+                     "gd_iters", "lda_shrinkage", "noise", "kernel"))
 def mice_round_device(x_num, codes, num_null, cat_null, key, *,
                       schema: FeatureSchema,
                       num_cols_to_impute: tuple[int, ...],
                       cat_cols_to_impute: tuple[int, ...],
                       gd_iters: int = 500, lda_shrinkage: float = 0.001,
-                      noise: bool = False):
+                      noise: bool = False, kernel: str = "xla"):
     """One MICE round, entirely on device. Arrays are features-first.
-    Returns (x_num, codes, key)."""
+    Returns (x_num, codes, key). kernel='pallas_fast' uses the
+    split-precision MXU kernel (TPU; masks here are binary)."""
     d = schema.num_cols
     offs = schema.offsets
+    if kernel == "pallas_fast":
+        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_padded
+        agg = functools.partial(sigma_pallas_fast_padded, schema=schema)
+    else:
+        agg = functools.partial(masked_sigma, schema=schema)
 
     # categorical columns first (imputation_base.cpp:18-87 ordering)
     for col in cat_cols_to_impute:
         w_mask = 1.0 - cat_null[col].astype(jnp.float32)
-        sigma = masked_sigma(x_num, codes, w_mask, schema=schema)
+        sigma = agg(x_num, codes, w_mask)
         w, intercept, keep = _lda_device(sigma, schema, col, lda_shrinkage)
         zt = _zt_block(x_num, codes, schema)
         feats = zt[jnp.asarray(keep[1:])]                   # [m, n]
@@ -96,7 +102,7 @@ def mice_round_device(x_num, codes, num_null, cat_null, key, *,
 
     for col in num_cols_to_impute:
         w_mask = 1.0 - num_null[col].astype(jnp.float32)
-        sigma = masked_sigma(x_num, codes, w_mask, schema=schema)
+        sigma = agg(x_num, codes, w_mask)
         coeff = linreg_train_device(sigma, label=col + 1,
                                     max_iters=gd_iters)
         zt = _zt_block(x_num, codes, schema)
@@ -119,14 +125,15 @@ def mice_round_device(x_num, codes, num_null, cat_null, key, *,
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "gd_iters", "lda_shrinkage", "noise"),
+                     "gd_iters", "lda_shrinkage", "noise", "kernel"),
     donate_argnames=("x_num", "codes"))
 def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
                      schema: FeatureSchema,
                      num_cols_to_impute: tuple[int, ...],
                      cat_cols_to_impute: tuple[int, ...],
                      iters, gd_iters: int = 500,
-                     lda_shrinkage: float = 0.001, noise: bool = False):
+                     lda_shrinkage: float = 0.001, noise: bool = False,
+                     kernel: str = "xla"):
     """The WHOLE MICE loop in one dispatch: lax.fori_loop over rounds.
     `iters` may be a traced scalar — one compile serves any round count."""
     def body(_, carry):
@@ -135,14 +142,15 @@ def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
             x, c, num_null, cat_null, k, schema=schema,
             num_cols_to_impute=num_cols_to_impute,
             cat_cols_to_impute=cat_cols_to_impute,
-            gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise)
+            gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
+            kernel=kernel)
     return jax.lax.fori_loop(0, iters, body, (x_num, codes, key))
 
 
 def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
                     iters: int = 5, *, gd_iters: int = 500,
                     lda_shrinkage: float = 0.001, noise: bool = False,
-                    seed: int = 0) -> Table:
+                    seed: int = 0, kernel: str = "auto") -> Table:
     """Host wrapper: mean/mode init, then the single-dispatch device loop."""
     import dataclasses
 
@@ -158,10 +166,141 @@ def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
         cat_null_cols = tuple(
             j for j in range(schema.cat_cols)
             if bool(np.asarray(t.cat_null[j]).any()))
+    if kernel == "auto":
+        kernel = ("pallas_fast"
+                  if (jax.default_backend() not in ("cpu",)
+                      and t.n_rows >= (1 << 20)) else "xla")
     x, c, _ = mice_loop_device(
         t.num_data, t.cat_codes, t.num_null, t.cat_null,
         jax.random.PRNGKey(seed), schema=schema,
         num_cols_to_impute=tuple(num_null_cols),
         cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
-        gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise)
+        gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
+        kernel=kernel)
+    return dataclasses.replace(t, num_data=x, cat_codes=c)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
+                     "gd_iters", "lda_shrinkage", "noise", "kernel"),
+    donate_argnames=("x_num", "codes"))
+def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
+                           num_dirty_idx, cat_dirty_idx, *,
+                           schema: FeatureSchema,
+                           num_cols_to_impute: tuple[int, ...],
+                           cat_cols_to_impute: tuple[int, ...],
+                           iters, gd_iters: int = 500,
+                           lda_shrinkage: float = 0.001,
+                           noise: bool = False, kernel: str = "xla"):
+    """The low-missing delta strategy (imputation_low.cpp) fused on-device:
+    ONE full aggregation up front, then per column per round only the
+    column's dirty rows are re-aggregated:
+
+        delta  = sigma(dirty rows, current values)
+        train  = full − delta          → train / impute dirty rows
+        full   = train + sigma(dirty rows, imputed values)
+
+    num_dirty_idx / cat_dirty_idx: per imputed column, (idx i32[k_pad],
+    valid f32[k_pad]) — the dirty-row gathers, zero-padded (static shapes).
+    Work per round: O(Σ dirty) instead of O(C·n)."""
+    if kernel == "pallas_fast":
+        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_padded
+        agg = functools.partial(sigma_pallas_fast_padded, schema=schema)
+    else:
+        agg = functools.partial(masked_sigma, schema=schema)
+
+    n = x_num.shape[-1]
+    full0 = agg(x_num, codes, jnp.ones((n,), jnp.float32))
+
+    def delta_sigma(x, c, idx, valid):
+        return agg(x[:, idx], c[:, idx], valid)
+
+    def body(_, carry):
+        x, c, k, full = carry
+        for ci, col in enumerate(cat_cols_to_impute):
+            idx, valid = cat_dirty_idx[ci]
+            delta = delta_sigma(x, c, idx, valid)
+            train = full - delta
+            w, intercept, keep = _lda_device(train, schema, col,
+                                             lda_shrinkage)
+            zt = _zt_block(x[:, idx], c[:, idx], schema)
+            feats = zt[jnp.asarray(keep[1:])]
+            scores = w.T @ feats + intercept[:, None]
+            pred_code = jnp.argmax(scores, axis=0).astype(c.dtype)
+            old = c[col, idx]
+            c = c.at[col, idx].set(
+                jnp.where(valid > 0, pred_code, old))
+            full = train + delta_sigma(x, c, idx, valid)
+
+        for ci, col in enumerate(num_cols_to_impute):
+            idx, valid = num_dirty_idx[ci]
+            delta = delta_sigma(x, c, idx, valid)
+            train = full - delta
+            coeff = linreg_train_device(train, label=col + 1,
+                                        max_iters=gd_iters)
+            zt = _zt_block(x[:, idx], c[:, idx], schema)
+            theta = coeff * (1.0 - jax.nn.one_hot(
+                col + 1, coeff.shape[0], dtype=coeff.dtype))
+            pred = theta @ zt
+            if noise:
+                k, sub = jax.random.split(k)
+                theta_full = coeff.at[col + 1].set(-1.0)
+                var = (theta_full @ train @ theta_full
+                       / jnp.maximum(train[0, 0], 1.0))
+                pred = pred + jnp.sqrt(jnp.maximum(var, 0.0)) \
+                    * jax.random.normal(sub, pred.shape)
+            old = x[col, idx]
+            x = x.at[col, idx].set(jnp.where(valid > 0, pred, old))
+            full = train + delta_sigma(x, c, idx, valid)
+        return x, c, k, full
+
+    x, c, k, _ = jax.lax.fori_loop(0, iters, body,
+                                   (x_num, codes, key, full0))
+    return x, c, k
+
+
+def run_mice_device_delta(t: Table, num_null_cols=None, cat_null_cols=None,
+                          iters: int = 5, *, gd_iters: int = 500,
+                          lda_shrinkage: float = 0.001, noise: bool = False,
+                          seed: int = 0, kernel: str = "auto") -> Table:
+    """Host wrapper for the fused delta loop: builds the static dirty-row
+    gathers (pow2-padded) once, then a single dispatch runs every round."""
+    import dataclasses
+
+    from .partition import build_partitions, init_fill
+
+    t = init_fill(t)
+    parts = build_partitions(t)
+    schema = t.schema
+    if num_null_cols is None:
+        num_null_cols = tuple(j for j in range(schema.num_cols)
+                              if len(parts.num_dirty_idx[j]))
+    if cat_null_cols is None:
+        cat_null_cols = tuple(j for j in range(schema.cat_cols)
+                              if len(parts.cat_dirty_idx[j]))
+    if kernel == "auto":
+        kernel = ("pallas_fast"
+                  if (jax.default_backend() not in ("cpu",)
+                      and t.n_rows >= (1 << 20)) else "xla")
+
+    def gather(idx):
+        size = max(len(idx), 1)
+        bucket = 1 << (size - 1).bit_length()
+        pad_idx = np.pad(np.asarray(idx, np.int64), (0, bucket - len(idx)))
+        valid = (np.arange(bucket) < len(idx)).astype(np.float32)
+        return jnp.asarray(pad_idx), jnp.asarray(valid)
+
+    num_gathers = tuple(gather(parts.num_dirty_idx[j])
+                        for j in num_null_cols)
+    cat_gathers = tuple(gather(parts.cat_dirty_idx[j])
+                        for j in cat_null_cols)
+
+    x, c, _ = mice_loop_device_delta(
+        t.num_data, t.cat_codes, t.num_null, t.cat_null,
+        jax.random.PRNGKey(seed), num_gathers, cat_gathers,
+        schema=schema, num_cols_to_impute=tuple(num_null_cols),
+        cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
+        gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
+        kernel=kernel)
     return dataclasses.replace(t, num_data=x, cat_codes=c)

@@ -146,3 +146,32 @@ def test_mice_device_matches_host(iris_mcar):
     mask = cat_null[:, 0]
     acc = (dev.cat_values()[0, mask] == cat[mask, 0]).mean()
     assert acc > 0.8, acc
+
+
+def test_mice_device_delta_matches_full(iris_mcar):
+    """Fused delta loop == fused full-rescan loop (same f32 solvers, same
+    training sets via the delta algebra)."""
+    from duckdb_imputation_tpu.mice.device_round import (
+        run_mice_device,
+        run_mice_device_delta,
+    )
+    num, cat, num_null, cat_null = iris_mcar
+    full = run_mice_device(_make_table(iris_mcar), iters=2, gd_iters=300)
+    delta = run_mice_device_delta(_make_table(iris_mcar), iters=2,
+                                  gd_iters=300)
+    # full-vs-delta differ by f32 cancellation in the sigma algebra,
+    # amplified through the GD solve — compare imputation QUALITY
+    for j in (0, 3):
+        mask = num_null[:, j]
+        rmse_f = np.sqrt(np.mean(
+            (np.asarray(full.num_data)[j, mask] - num[mask, j]) ** 2))
+        rmse_d = np.sqrt(np.mean(
+            (np.asarray(delta.num_data)[j, mask] - num[mask, j]) ** 2))
+        assert rmse_d < rmse_f * 1.15 + 0.02, (j, rmse_d, rmse_f)
+    # untouched cells identical
+    obs = ~num_null[:, 0]
+    np.testing.assert_array_equal(np.asarray(delta.num_data)[0, obs],
+                                  np.asarray(full.num_data)[0, obs])
+    agree = (np.asarray(delta.cat_codes)
+             == np.asarray(full.cat_codes)).mean()
+    assert agree > 0.95, agree
