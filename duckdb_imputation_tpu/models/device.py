@@ -139,3 +139,39 @@ def mice_column_step_device(x_num, codes, null_mask, *, schema, label: int,
     pred = linreg_predict_device(coeff, zt, label + 1)
     new_col = jnp.where(null_mask, pred, x_num[label])
     return x_num.at[label].set(new_col), coeff
+
+
+@functools.partial(jax.jit, static_argnames=("drop_d",))
+def qda_train_device(sigmas: jax.Array, tot: jax.Array, drop_d: int):
+    """Device QDA from per-class sigmas f32[C, P, P] (drop-first vocab
+    already applied upstream). Returns (quad [C,m,m], lin [C,m],
+    intercept [C]) with the reference's parameterization
+    (−½cov⁻¹, cov⁻¹μ, −½μᵀcov⁻¹μ −½log pdet + log(Nc/N)); SVD pinv with
+    the 1e-9 cutoff, pseudo-determinant. drop_d = 1 (the constant row)."""
+    def one(sig):
+        n_c = sig[0, 0]
+        s = sig[1:, 1:]
+        sv = sig[0, 1:]
+        cov = (s - jnp.outer(sv, sv) / n_c) / n_c
+        u, svals, vt = jnp.linalg.svd(cov)
+        inv_s = jnp.where(svals > 1e-9, 1.0 / jnp.where(svals > 1e-9,
+                                                        svals, 1.0), svals)
+        inva = (vt.T * inv_s) @ u.T
+        logdet = jnp.sum(jnp.where(svals > 1e-9, jnp.log(svals), 0.0))
+        mu = sv / n_c
+        lin = inva @ mu
+        intercept = (-0.5 * mu @ lin - 0.5 * logdet
+                     + jnp.log(n_c / tot))
+        return -0.5 * inva, lin, intercept
+    return jax.vmap(one)(sigmas)
+
+
+@jax.jit
+def nb_train_device(n, lin, quad_diag, lin_cat):
+    """Device NB from batched NBAgg arrays ([C], [C,d], [C,d], [C,V]):
+    returns (priors [C], mean [C,d], var [C,d], freqs [C,V])."""
+    tot = jnp.sum(n)
+    mean = lin / n[:, None]
+    var = quad_diag / n[:, None] - mean * mean
+    freqs = lin_cat / n[:, None]
+    return n / tot, mean, var, freqs

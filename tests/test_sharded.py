@@ -154,3 +154,49 @@ def test_sharded_2d_equals_single(table):
                                np.asarray(single.quad), rtol=1e-6, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(shard.cat_cat),
                                   np.asarray(single.cat_cat))
+
+
+def test_qda_nb_device_trainers(table):
+    """Device QDA/NB trainers match the host f64 parity trainers'
+    predictions."""
+    import jax.numpy as jnp
+    from duckdb_imputation_tpu.models.device import (
+        nb_train_device,
+        qda_train_device,
+    )
+    from duckdb_imputation_tpu.models import (
+        NBParams, QDAParams, nb_train, qda_train,
+    )
+    from duckdb_imputation_tpu.ring import (
+        sum_to_nb_agg_grouped,
+        sum_to_triple_grouped,
+    )
+    from duckdb_imputation_tpu.ring.triple import sigma_from_triple
+    from duckdb_imputation_tpu.models.sigma import build_sigma, select_vocab
+    num, cat, g, w, schema = table
+    labels = np.arange(5)
+    g5 = (g % 5).astype(np.int32)
+
+    # QDA: numeric-only per-class triples
+    s_num = FeatureSchema(num_cols=4)
+    triples = sum_to_triple_grouped(num.T, None, g5, schema=s_num,
+                                    num_groups=5)
+    host = QDAParams.decode(qda_train(triples, s_num, labels), 4, False)
+    sigmas = sigma_from_triple(triples)
+    quad, lin, b = qda_train_device(jnp.asarray(sigmas),
+                                    jnp.asarray(float(len(g5))), 1)
+    np.testing.assert_allclose(np.asarray(quad), host.quad, rtol=2e-2,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(b), host.intercept, rtol=2e-2,
+                               atol=1e-2)
+
+    # NB
+    aggs = sum_to_nb_agg_grouped(num.T, None, g5, schema=s_num, num_groups=5)
+    hostn = NBParams.decode(nb_train(aggs, s_num, labels), 4)
+    pri, mean, var, _ = nb_train_device(aggs.n, aggs.lin, aggs.quad_diag,
+                                        aggs.lin_cat)
+    np.testing.assert_allclose(np.asarray(pri), hostn.priors, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mean), hostn.mean, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var), hostn.var, rtol=1e-3,
+                               atol=1e-3)
