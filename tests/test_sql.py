@@ -1,0 +1,292 @@
+"""SQL front-end tests — the reference's own pytest SQL strings run
+near-verbatim against duckdb_imputation_tpu.sql and must produce the same
+golden nested dicts (duckdb_extension/test/python/test_sum.py, test_lift.py,
+test_mul.py, test_nb_*.py) plus the MICE driver statement sequence
+(imputation/algorithms/imputation_base.cpp:21-142)."""
+import numpy as np
+import pytest
+
+from duckdb_imputation_tpu import api, sql
+
+import golden_ring as G
+
+
+@pytest.fixture
+def con():
+    c = sql.connect()
+    c.execute("CREATE TABLE test(gb INTEGER, a FLOAT, b FLOAT, c FLOAT, "
+              "d INTEGER, e INTEGER, f INTEGER);")
+    c.execute("INSERT INTO test VALUES (1,1,2,3,4,5,6), (1,5,6,7,8,9,10), "
+              "(2,2,1,3,4,6,8), (2,5,7,6,8,10,12), (2,2,1,3,4,6,8)")
+    return c
+
+
+# -- ring op golden parity (test_sum.py / test_lift.py / test_mul.py) --------
+
+def test_sum_no_lift_everything(con):
+    res = con.execute(
+        "SELECT sum_to_triple_3_3(a,b,c,d,e,f) from test").fetchall()
+    assert res[0][0] == G.SUM_ALL
+
+
+def test_sum_no_lift_group_by(con):
+    res = con.execute(
+        "SELECT sum_to_triple_3_3(a,b,c,d,e,f) from test GROUP BY gb"
+    ).fetchall()
+    assert res[0][0] == G.SUM_GB1
+    assert res[1][0] == G.SUM_GB2
+
+
+def test_sum_no_lift_having(con):
+    res = con.execute("SELECT sum_to_triple_3_3(a,b,c,d,e,f) from test "
+                      "GROUP BY gb HAVING gb = 2").fetchall()
+    assert res[0][0] == G.SUM_GB2
+
+
+def test_sum_equals_lift_then_sum(con):
+    res = con.execute("SELECT sum_to_triple_3_3(a,b,c,d,e,f) from test "
+                      "GROUP BY gb").fetchall()
+    res2 = con.execute("SELECT sum_triple(to_cofactor(a,b,c,d,e,f)) "
+                       "from test GROUP BY gb").fetchall()
+    assert res[0][0] == res2[0][0]
+    assert res[1][0] == res2[1][0]
+
+
+def test_sum_where(con):
+    res = con.execute("SELECT sum_to_triple_3_3(a,b,c,d,e,f) from test "
+                      "where gb = 2").fetchall()
+    assert res[0][0] == G.SUM_GB2
+
+
+def test_lift_rows(con):
+    res = con.execute("SELECT to_cofactor(a,b,c,d,e,f) from test").fetchall()
+    assert res[0][0] == G.LIFT_ROW0
+    assert res[3][0] == G.LIFT_ROW3
+
+
+def test_multiply_join(con):
+    res = con.execute(
+        "SELECT multiply_triple(A, B) FROM ("
+        "(SELECT sum_to_triple_2_2(b,c,d,e) AS A FROM test where gb = 1) "
+        "INNER JOIN "
+        "(SELECT sum_to_triple_2_2(a,c,d,f) AS B FROM test where gb = 2) "
+        "ON TRUE)").fetchall()
+    assert res[0][0] == G.MUL_GB1_GB2
+
+
+def test_nb_sum(con):
+    res = con.execute(
+        "SELECT sum_to_nb_agg_3_3(a,b,c,d,e,f) from test").fetchall()
+    assert res[0][0] == G.NB_SUM_ALL
+    res = con.execute("SELECT sum_to_nb_agg_3_3(a,b,c,d,e,f) from test "
+                      "GROUP BY gb").fetchall()
+    assert res[0][0] == G.NB_SUM_GB1
+
+
+def test_nb_lift_sum_identity(con):
+    res = con.execute(
+        "SELECT sum_nb_agg(to_nb_agg(a,b,c,d,e,f)) from test").fetchall()
+    assert res[0][0] == G.NB_SUM_ALL
+
+
+def test_nb_multiply_join(con):
+    res = con.execute(
+        "SELECT multiply_nb_agg(A, B) FROM ("
+        "(SELECT sum_to_nb_agg_2_2(b,c,d,e) AS A FROM test where gb = 1) "
+        "INNER JOIN "
+        "(SELECT sum_to_nb_agg_2_2(a,c,d,f) AS B FROM test where gb = 2) "
+        "ON TRUE)").fetchall()
+    assert res[0][0] == G.NB_MUL
+
+
+# -- plain SQL machinery ------------------------------------------------------
+
+def test_scalar_queries(con):
+    assert con.execute("SELECT COUNT(*) FROM test").fetchone()[0] == 5
+    assert con.execute("SELECT AVG(a) FROM test").fetchone()[0] == \
+        pytest.approx(3.0)
+    assert con.execute("SELECT MODE(d) FROM test").fetchone()[0] == 4
+    res = con.execute(
+        "SELECT DISTINCT d FROM test ORDER BY d").fetchall()
+    assert [r[0] for r in res] == [4, 8]
+
+
+def test_where_order_limit(con):
+    res = con.execute("SELECT a, b FROM test WHERE gb = 2 "
+                      "ORDER BY a DESC LIMIT 2").fetchall()
+    assert res[0] == (5.0, 7.0)
+    assert len(res) == 2
+
+
+def test_nulls_and_case(con):
+    con.execute("CREATE TABLE t(x FLOAT, y FLOAT)")
+    con.execute("INSERT INTO t VALUES (1, 10), (NULL, 20), (3, NULL)")
+    res = con.execute("SELECT CASE WHEN x IS NULL THEN -1 ELSE x END, "
+                      "COALESCE(y, 0) FROM t").fetchall()
+    assert res == [(1.0, 10.0), (-1.0, 20.0), (3.0, 0.0)]
+    assert con.execute(
+        "SELECT COUNT(x) FROM t").fetchone()[0] == 2
+    res = con.execute("SELECT x FROM t WHERE x IS NOT NULL").fetchall()
+    assert [r[0] for r in res] == [1.0, 3.0]
+
+
+def test_list_position_extract(con):
+    res = con.execute(
+        "SELECT list_position([4, 8], d), "
+        "list_extract([0.5, 0.25], list_position([4, 8], d)) "
+        "FROM test").fetchall()
+    assert [r[0] for r in res] == [1, 2, 1, 2, 1]
+    assert [r[1] for r in res] == [0.5, 0.25, 0.5, 0.25, 0.5]
+
+
+# -- train/predict through SQL (the reference's text round-trip) ---------------
+
+def test_linreg_struct_literal_round_trip(con):
+    """The reference interpolates the triple's ToString() into the train
+    call (imputation_base.cpp:116); the same flow must work here."""
+    triple_dict = con.execute(
+        "SELECT sum_to_triple_3_0(a,b,c) FROM test").fetchone()[0]
+    q = (f"select linreg_train({triple_dict!r}"
+         "::STRUCT(N int, lin_agg FLOAT[], quad_agg FLOAT[], "
+         "lin_cat STRUCT(key INT, value FLOAT)[][], "
+         "quad_num_cat STRUCT(key INT, value FLOAT)[][], "
+         "quad_cat STRUCT(key1 INT, key2 INT, value FLOAT)[][]), "
+         "0, 0.001::FLOAT, 0::FLOAT, 10000::INTEGER, false, false)")
+    q = q.replace("'", "'")
+    params = con.execute(q).fetchone()[0]
+    # same training through the direct API
+    t = api.sum_to_triple(
+        np.array([1, 5, 2, 5, 2], np.float32),
+        np.array([2, 6, 1, 7, 1], np.float32),
+        np.array([3, 7, 3, 6, 3], np.float32))
+    expected = api.linreg_train(t, 0, 0.001, 0.0, 10000, False, False)
+    np.testing.assert_allclose(params, np.asarray(expected), rtol=1e-6)
+    # predict through SQL matches predict through the API
+    res = con.execute(
+        f"SELECT linreg_predict({params!r}::FLOAT[], false, false, b, c) "
+        "FROM test").fetchall()
+    direct = api.linreg_predict(
+        np.asarray(params, np.float32), False, False,
+        np.array([2, 6, 1, 7, 1], np.float32),
+        np.array([3, 7, 3, 6, 3], np.float32))
+    np.testing.assert_allclose([r[0] for r in res], direct, rtol=1e-5)
+
+
+def test_qda_list_aggregate(con):
+    """The reference's QDA flow: LIST(agg), LIST(label) from a GROUP BY
+    subquery, then qda_train over the text literals (test_QDA.py:51-57)."""
+    rows = con.execute(
+        "SELECT list(agg), list(gb) FROM (SELECT sum_to_triple_3_0(a,b,c) "
+        "as agg, gb from test group by gb)").fetchall()
+    triples, labels = rows[0]
+    q = (f"select qda_train({triples!r}"
+         "::STRUCT(N int, lin_agg FLOAT[], quad_agg FLOAT[], "
+         "lin_cat STRUCT(key INT, value FLOAT)[][], "
+         "quad_num_cat STRUCT(key INT, value FLOAT)[][], "
+         "quad_cat STRUCT(key1 INT, key2 INT, value FLOAT)[][])[], "
+         f"{labels}::int[], false)")
+    params = con.execute(q).fetchone()[0]
+    preds = con.execute(
+        f"SELECT qda_predict({params!r}::float[], false, a, b, c) "
+        "FROM test").fetchall()
+    # the SQL text round-trip must match the direct-API path exactly
+    a = np.array([1, 5, 2, 5, 2], np.float32)
+    b = np.array([2, 6, 1, 7, 1], np.float32)
+    c = np.array([3, 7, 3, 6, 3], np.float32)
+    t = api.sum_to_triple(a, b, c,
+                          group_by=np.array([0, 0, 1, 1, 1]), num_groups=2)
+    direct_params = api.qda_train(t, np.array([1, 2]), normalize=False)
+    np.testing.assert_allclose(params, np.asarray(direct_params), rtol=1e-6)
+    direct = api.qda_predict(np.asarray(direct_params), False, a, b, c)
+    # QDA returns the actual label VALUE (qda.cpp:483-486)
+    assert [int(r[0]) for r in preds] == [int(v) for v in direct]
+    assert set(int(r[0]) for r in preds) <= {1, 2}
+
+
+def test_nb_list_aggregate(con):
+    rows = con.execute(
+        "SELECT list(agg), list(gb) FROM (SELECT sum_to_nb_agg_3_0(a,b,c) "
+        "as agg, gb from test group by gb)").fetchall()
+    aggs, labels = rows[0]
+    q = (f"select nb_train({aggs!r}"
+         "::STRUCT(N int, lin_agg FLOAT[], quad_agg FLOAT[], "
+         "lin_cat STRUCT(key INT, value FLOAT)[][])[], "
+         f"{labels}::int[])")
+    params = con.execute(q).fetchone()[0]
+    preds = con.execute(
+        f"SELECT nb_predict({params!r}::float[], false, a, b, c) "
+        "FROM test").fetchall()
+    a = np.array([1, 5, 2, 5, 2], np.float32)
+    b = np.array([2, 6, 1, 7, 1], np.float32)
+    c = np.array([3, 7, 3, 6, 3], np.float32)
+    t = api.sum_to_nb_agg(a, b, c,
+                          group_by=np.array([0, 0, 1, 1, 1]), num_groups=2)
+    direct_params = api.nb_train(t, np.array([1, 2]))
+    np.testing.assert_allclose(params, np.asarray(direct_params), rtol=1e-6)
+    direct = api.nb_predict(np.asarray(direct_params), False, a, b, c)
+    assert [int(r[0]) for r in preds] == [int(v) for v in direct]
+
+
+# -- the MICE driver statement sequence ----------------------------------------
+
+def test_mice_driver_sql_sequence():
+    """Replays run_MICE_baseline's statement shapes end-to-end: flag table,
+    masked aggregate, text-literal train, CASE-WHEN predict into `rep`,
+    patched column-swap write-back (imputation_base.cpp:21-142)."""
+    rng = np.random.default_rng(0)
+    n = 400
+    b = rng.normal(size=n).astype(np.float32)
+    c = rng.normal(size=n).astype(np.float32)
+    a_true = (2.0 * b - c + 0.5).astype(np.float32)
+    missing = rng.random(n) < 0.25
+    a = a_true.copy()
+    a[missing] = np.nan
+
+    con = sql.connect()
+    con.register("raw", {"a": a, "b": b, "c": c})
+    # init_baseline: mean fill + _IS_NULL flag (partition.cpp:671-719)
+    mean_a = con.execute("SELECT AVG(a) FROM raw").fetchone()[0]
+    con.execute(
+        f"CREATE TABLE t_complete AS SELECT COALESCE(a, {mean_a}) AS a, "
+        "b, c, a IS NULL AS a_is_null FROM raw")
+    # cofactor over clean rows only
+    triple = con.execute(
+        "SELECT sum_to_triple_3_0(a, b, c) FROM t_complete "
+        "WHERE a_is_null IS FALSE").fetchone()[0]
+    cast = ("::STRUCT(N int, lin_agg FLOAT[], quad_agg FLOAT[], "
+            "lin_cat STRUCT(key INT, value FLOAT)[][], "
+            "quad_num_cat STRUCT(key INT, value FLOAT)[][], "
+            "quad_cat STRUCT(key1 INT, key2 INT, value FLOAT)[][])")
+    params = con.execute(
+        f"select linreg_train({triple!r}{cast}, 0, 0.001::FLOAT, 0::FLOAT, "
+        "10000::INTEGER, false, false)").fetchone()[0]
+    con.execute(
+        f"CREATE TABLE rep AS SELECT CASE WHEN a_is_null THEN "
+        f"linreg_predict({params!r}::FLOAT[], false, false, b, c) "
+        "ELSE a END AS test FROM t_complete")
+    con.execute("ALTER TABLE t_complete ALTER COLUMN a SET DEFAULT 10;")
+    assert "rep" not in con.tables
+    imputed = np.asarray(
+        [r[0] for r in con.execute("SELECT a FROM t_complete").fetchall()],
+        np.float32)
+    # observed rows untouched; imputed rows close to truth on noiseless data
+    np.testing.assert_allclose(imputed[~missing], a_true[~missing],
+                               rtol=1e-5)
+    assert float(np.abs(imputed[missing] - a_true[missing]).max()) < 0.05
+
+
+def test_to_table_handoff():
+    """SQL table → device Table → MICE via the API."""
+    rng = np.random.default_rng(1)
+    n = 200
+    b = rng.normal(size=n).astype(np.float32)
+    a = (b * 3.0).astype(np.float32)
+    a[rng.random(n) < 0.2] = np.nan
+    con = sql.connect()
+    con.register("t", {"a": a, "b": b})
+    table = con.to_table("t")
+    out = api.run_MICE_baseline(table, con_columns_nulls=["a"],
+                                mice_iters=2)
+    vals = np.asarray(out.num_data)[0]
+    mask = np.isnan(a)
+    np.testing.assert_allclose(vals[mask], (b * 3.0)[mask], atol=0.05)
