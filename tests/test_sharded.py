@@ -200,3 +200,46 @@ def test_qda_nb_device_trainers(table):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(var), hostn.var, rtol=1e-3,
                                atol=1e-3)
+
+
+def test_overlapped_equals_sharded(table):
+    """Pipeline-overlapped striped collective (parallel/overlap.py): exact
+    on count-valued sections, f32 accumulation-order tolerance on sums."""
+    from duckdb_imputation_tpu.parallel import sum_to_triple_overlapped
+
+    num, cat, g, w, schema = table
+    codes = schema.encode(cat).T
+    mesh = make_mesh()
+    plain = sum_to_triple_sharded(num.T, codes, w, schema=schema, mesh=mesh)
+    # 5 stripes over sigma_size=41 -> width 9, padded tail stripe
+    over = sum_to_triple_overlapped(num.T, codes, w, schema=schema,
+                                    mesh=mesh, n_stripes=5, row_chunk=1024)
+    np.testing.assert_array_equal(np.asarray(over.n), np.asarray(plain.n))
+    np.testing.assert_array_equal(np.asarray(over.lin_cat),
+                                  np.asarray(plain.lin_cat))
+    np.testing.assert_array_equal(np.asarray(over.cat_cat),
+                                  np.asarray(plain.cat_cat))
+    np.testing.assert_allclose(np.asarray(over.quad),
+                               np.asarray(plain.quad), rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(over.lin),
+                               np.asarray(plain.lin), rtol=1e-6, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(over.num_cat),
+                               np.asarray(plain.num_cat),
+                               rtol=1e-6, atol=1e-3)
+
+
+def test_overlapped_no_numeric_cols(table):
+    from duckdb_imputation_tpu.parallel import sum_to_triple_overlapped
+
+    num, cat, g, w, schema0 = table
+    schema = FeatureSchema(num_cols=0, cat_keys=schema0.cat_keys)
+    codes = schema.encode(cat).T
+    mesh = make_mesh()
+    single = sum_to_triple(None, codes, w, schema=schema)
+    over = sum_to_triple_overlapped(None, codes, w, schema=schema,
+                                    mesh=mesh, n_stripes=3)
+    np.testing.assert_array_equal(np.asarray(over.lin_cat),
+                                  np.asarray(single.lin_cat))
+    np.testing.assert_array_equal(np.asarray(over.cat_cat),
+                                  np.asarray(single.cat_cat))
+    np.testing.assert_array_equal(np.asarray(over.n), np.asarray(single.n))
