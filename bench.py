@@ -115,6 +115,175 @@ def bench_cpu_baseline(schema, n=1_000_000, iters=3):
     return per_core
 
 
+def bench_numeric_4_0(n=1_024_000):
+    """BASELINE config 1: pure-numeric cofactor `sum_to_triple_4_0` over a
+    ~1M-row table (the MXU path, no categorical sections)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_imputation_tpu import FeatureSchema
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        _sizing,
+        sigma_pallas_fast,
+    )
+
+    schema = FeatureSchema(num_cols=4, cat_keys=())
+    pack, _ = _sizing(schema)
+    block = pack * 2048
+    n = (n // block) * block
+
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (4, n), jnp.float32)
+    w = jnp.ones((n,), jnp.float32)
+    jax.block_until_ready(x)
+    p = schema.sigma_size
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(x, w, iters: int):
+        def body(i, acc):
+            s = sigma_pallas_fast(x, None, w + 1e-9 * i.astype(jnp.float32),
+                                  schema=schema)
+            return acc + s
+        return jax.lax.fori_loop(0, iters, body,
+                                 jnp.zeros((p, p), jnp.float32))
+
+    k_lo, k_hi = 16, 256
+    np.asarray(loop(x, w, iters=k_lo))
+    np.asarray(loop(x, w, iters=k_hi))
+    t0 = time.perf_counter()
+    np.asarray(loop(x, w, iters=k_hi))
+    d_hi = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(loop(x, w, iters=k_lo))
+    d_lo = time.perf_counter() - t0
+    per = (d_hi - d_lo) / (k_hi - k_lo)
+    log(f"sum_to_triple_4_0 @{n}: {per * 1e6:.0f} us "
+        f"-> {n / per / 1e9:.2f}G rows/s")
+    return n / per
+
+
+def bench_nb_grouped(n=10_000_000, groups=5):
+    """BASELINE config 3: `sum_to_nb_agg_8_4` GROUP BY label over 10M rows
+    — the grouped NB hash aggregation as ONE segment-sum matmul pass."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_imputation_tpu import FeatureSchema
+    from duckdb_imputation_tpu.ring.kernels.nb_pallas import (
+        _nb_grouped_pallas,
+    )
+
+    schema = FeatureSchema(num_cols=8,
+                           cat_keys=tuple(tuple(range(8)) for _ in range(4)))
+    n -= n % 16384
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 3)
+        x = jax.random.normal(ks[0], (8, n), jnp.float32)
+        c = jax.random.randint(ks[1], (4, n), 0, 8, jnp.int32)
+        g = jax.random.randint(ks[2], (n,), 0, groups, jnp.int32)
+        return x, c, g
+
+    x, c, g = gen(jax.random.PRNGKey(2))
+    w = jnp.ones((n,), jnp.float32)
+    jax.block_until_ready((x, c, g, w))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(x, c, w, g, iters: int):
+        def body(i, acc):
+            # binary-mask fast path (GROUP BY label); the 1e-9 perturbation
+            # defeats loop hoisting and rounds away inside the kernel
+            s = _nb_grouped_pallas(
+                x, c, w + 1e-9 * i.astype(jnp.float32), g, schema=schema,
+                num_groups=groups, chunk_cols=16384, fast=True)
+            return acc + s
+        f = 1 + 16 + schema.vocab_size
+        return jax.lax.fori_loop(0, iters, body,
+                                 jnp.zeros((groups, f), jnp.float32))
+
+    k_lo, k_hi = 4, 44
+    np.asarray(loop(x, c, w, g, iters=k_lo))
+    np.asarray(loop(x, c, w, g, iters=k_hi))
+    t0 = time.perf_counter()
+    np.asarray(loop(x, c, w, g, iters=k_hi))
+    d_hi = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(loop(x, c, w, g, iters=k_lo))
+    d_lo = time.perf_counter() - t0
+    per = (d_hi - d_lo) / (k_hi - k_lo)
+    log(f"sum_to_nb_agg_8_4 GROUP BY ({groups} labels) @{n}: "
+        f"{per * 1e3:.2f} ms -> {n / per / 1e9:.2f}G rows/s")
+    return n / per
+
+
+def bench_qda_grouped_skewed(schema, n_blocks=1025, groups=8):
+    """BASELINE config 4: per-class triples with a 90%-skewed label — the
+    single-launch grouped Pallas kernel (sorted-segment layout; a hot class
+    is just a longer contiguous block range, so skew costs nothing)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import _sizing
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
+        _sigma_pallas_grouped_padded,
+    )
+
+    pack, _ = _sizing(schema)
+    block = pack * 2048
+    # ~90% of blocks in class 0 (group-sorted layout, block-aligned)
+    blocks_per_group = [n_blocks - 7 * (n_blocks // 70)] + \
+        [n_blocks // 70] * (groups - 1)
+    n = n_blocks * block
+    gmap = np.concatenate([np.full(b, gid, np.int32)
+                           for gid, b in enumerate(blocks_per_group)])
+    first = np.zeros(n_blocks, np.int32)
+    first[np.cumsum([0] + blocks_per_group[:-1])] = 1
+
+    @jax.jit
+    def gen(key):
+        ks = jax.random.split(key, 3)
+        x = jax.random.normal(ks[0], (4, n), jnp.float32)
+        c = jax.random.randint(ks[1], (2, n), 0, 8, jnp.int32)
+        w = jnp.ones((n,), jnp.float32)
+        return x, c, w
+
+    x, c, w = gen(jax.random.PRNGKey(3))
+    gmap, first = jnp.asarray(gmap), jnp.asarray(first)
+    jax.block_until_ready((x, c, w))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(x, c, w, iters: int):
+        def body(i, acc):
+            s = _sigma_pallas_grouped_padded(
+                x, c, w + 1e-9 * i.astype(jnp.float32), gmap, first,
+                schema=schema, num_groups=groups, chunk_cols=2048)
+            return acc + jnp.sum(s, axis=0)
+        p = schema.sigma_size
+        return jax.lax.fori_loop(0, iters, body,
+                                 jnp.zeros((p, p), jnp.float32))
+
+    k_lo, k_hi = 4, 44
+    np.asarray(loop(x, c, w, iters=k_lo))
+    np.asarray(loop(x, c, w, iters=k_hi))
+    t0 = time.perf_counter()
+    np.asarray(loop(x, c, w, iters=k_hi))
+    d_hi = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(loop(x, c, w, iters=k_lo))
+    d_lo = time.perf_counter() - t0
+    per = (d_hi - d_lo) / (k_hi - k_lo)
+    log(f"QDA grouped skewed ({groups} classes, 90% hot) @{n}: "
+        f"{per * 1e3:.2f} ms -> {n / per / 1e9:.2f}G rows/s")
+    return n / per
+
+
 def bench_mice_round(schema, n=10_000_000):
     """Full MICE round (BASELINE config 5, single chip): masked aggregate +
     train + predict + write-back for 1 continuous and 1 categorical null
@@ -151,12 +320,13 @@ def bench_mice_round(schema, n=10_000_000):
             iters=jnp.int32(iters), gd_iters=200)
         return float(np.asarray(xo[1, :4]).sum())
 
+    k_lo, k_hi = (10, 210) if n <= 20_000_000 else (3, 23)
     run(1, x)                                   # compile
-    t0 = time.perf_counter(); run(10, x * 1.000001)
+    t0 = time.perf_counter(); run(k_lo, x * 1.000001)
     d1 = time.perf_counter() - t0
-    t0 = time.perf_counter(); run(210, x * 1.000002)
+    t0 = time.perf_counter(); run(k_hi, x * 1.000002)
     d2 = time.perf_counter() - t0
-    per_round = (d2 - d1) / 200
+    per_round = (d2 - d1) / (k_hi - k_lo)
     log(f"MICE round @{n} rows (1 num + 1 cat null col): "
         f"{per_round * 1e3:.1f} ms/round")
     return per_round
@@ -170,6 +340,21 @@ def main():
         num_cols=4, cat_keys=(tuple(range(8)), tuple(range(8))))
     rows_per_s = bench_tpu(schema)
     base = bench_cpu_baseline(schema)
+    extras = {}
+    if os.environ.get("DBI_BENCH_FAST") != "1":
+        # the remaining BASELINE.json configs
+        extras["numeric_4_0_rows_per_s"] = round(bench_numeric_4_0())
+        extras["nb_grouped_8_4_rows_per_s"] = round(bench_nb_grouped())
+        extras["qda_grouped_skewed_rows_per_s"] = round(
+            bench_qda_grouped_skewed(schema))
+        for big_n in (100_000_000, 50_000_000):
+            try:
+                extras[f"mice_round_ms_{big_n // 1_000_000}M_rows"] = round(
+                    bench_mice_round(schema, n=big_n) * 1e3, 1)
+                break
+            except Exception as e:  # OOM headroom on a shared chip
+                log(f"{big_n // 1_000_000}M MICE config skipped: "
+                    f"{str(e)[:120]}")
     mice_round_s = bench_mice_round(schema)
     print(json.dumps({
         "metric": "cofactor_agg_rows_per_s_per_chip (sum_to_triple_4_2 masked)",
@@ -177,6 +362,7 @@ def main():
         "unit": "rows/s",
         "vs_baseline": round(rows_per_s / base, 1),
         "mice_round_ms_10M_rows": round(mice_round_s * 1e3, 1),
+        **extras,
     }))
 
 

@@ -34,6 +34,47 @@ from ..models.device import linreg_train_device
 from ..table.table import Table
 
 
+# Rows per predict/write-back chunk: bounds the transient Z block to
+# [P, chunk] so a 100M-row table never materializes a [P, n] feature
+# matrix (SURVEY.md §7 hard part 6 — write-back without 2× memory).
+PREDICT_ROW_CHUNK = 1 << 21
+
+
+def _chunked_writeback(x_num, codes, null_row, col, compute_pred,
+                       target: str):
+    """Stream predict + masked column write-back over row chunks.
+
+    compute_pred(x_chunk, codes_chunk, i) -> pred [chunk]. The written
+    column never feeds its own prediction (label coefficient zeroed / label
+    one-hot excluded), so the overlapping tail chunk is idempotent."""
+    n = x_num.shape[-1]
+    rc = min(PREDICT_ROW_CHUNK, n)
+    nc = -(-n // rc)
+
+    def body(i, carry):
+        x, c = carry
+        start = jnp.minimum(i * rc, n - rc)
+        xs = jax.lax.dynamic_slice(x, (0, start), (x.shape[0], rc)) \
+            if x.shape[0] else x[:, :rc]
+        cs = jax.lax.dynamic_slice(c, (0, start), (c.shape[0], rc)) \
+            if c.shape[0] else c[:, :rc]
+        pred = compute_pred(xs, cs, i)
+        nulls = jax.lax.dynamic_slice(null_row, (start,), (rc,))
+        if target == "num":
+            old = jax.lax.dynamic_slice(x, (col, start), (1, rc))[0]
+            new = jnp.where(nulls, pred, old)
+            x = jax.lax.dynamic_update_slice(x, new[None, :], (col, start))
+        else:
+            old = jax.lax.dynamic_slice(c, (col, start), (1, rc))[0]
+            new = jnp.where(nulls, pred.astype(c.dtype), old)
+            c = jax.lax.dynamic_update_slice(c, new[None, :], (col, start))
+        return x, c
+
+    if nc == 1:
+        return body(0, (x_num, codes))
+    return jax.lax.fori_loop(0, nc, body, (x_num, codes))
+
+
 def _lda_device(sigma: jax.Array, schema: FeatureSchema, label: int,
                 shrinkage: float):
     """Device LDA from the full sigma: returns (W [m, C], intercept [C],
@@ -93,31 +134,43 @@ def mice_round_device(x_num, codes, num_null, cat_null, key, *,
         w_mask = 1.0 - cat_null[col].astype(jnp.float32)
         sigma = agg(x_num, codes, w_mask)
         w, intercept, keep = _lda_device(sigma, schema, col, lda_shrinkage)
-        zt = _zt_block(x_num, codes, schema)
-        feats = zt[jnp.asarray(keep[1:])]                   # [m, n]
-        scores = w.T @ feats + intercept[:, None]           # [C, n]
-        pred_code = jnp.argmax(scores, axis=0).astype(codes.dtype)
-        new_col = jnp.where(cat_null[col], pred_code, codes[col])
-        codes = codes.at[col].set(new_col)
+        keep_feats = jnp.asarray(keep[1:])
+
+        def lda_pred(xs, cs, i, w=w, intercept=intercept,
+                     keep_feats=keep_feats):
+            zt = _zt_block(xs, cs, schema)
+            scores = w.T @ zt[keep_feats] + intercept[:, None]  # [C, rc]
+            return jnp.argmax(scores, axis=0)
+
+        x_num, codes = _chunked_writeback(
+            x_num, codes, cat_null[col], col, lda_pred, "cat")
 
     for col in num_cols_to_impute:
         w_mask = 1.0 - num_null[col].astype(jnp.float32)
         sigma = agg(x_num, codes, w_mask)
         coeff = linreg_train_device(sigma, label=col + 1,
                                     max_iters=gd_iters)
-        zt = _zt_block(x_num, codes, schema)
         theta = coeff * (1.0 - jax.nn.one_hot(col + 1, coeff.shape[0],
                                               dtype=coeff.dtype))
-        pred = theta @ zt
         if noise:
             key, sub = jax.random.split(key)
             theta_full = coeff.at[col + 1].set(-1.0)
             var = (theta_full @ sigma @ theta_full
                    / jnp.maximum(sigma[0, 0], 1.0))
-            pred = pred + jnp.sqrt(jnp.maximum(var, 0.0)) \
-                * jax.random.normal(sub, pred.shape)
-        new_col = jnp.where(num_null[col], pred, x_num[col])
-        x_num = x_num.at[col].set(new_col)
+            std = jnp.sqrt(jnp.maximum(var, 0.0))
+            nkey = sub
+        else:
+            std, nkey = None, None
+
+        def lin_pred(xs, cs, i, theta=theta, std=std, nkey=nkey):
+            pred = theta @ _zt_block(xs, cs, schema)
+            if std is not None:
+                pred = pred + std * jax.random.normal(
+                    jax.random.fold_in(nkey, i), pred.shape)
+            return pred
+
+        x_num, codes = _chunked_writeback(
+            x_num, codes, num_null[col], col, lin_pred, "num")
 
     return x_num, codes, key
 

@@ -205,10 +205,13 @@ def _sigma_fast_kernel(x_ref, codes_ref, w_ref, s0_ref, cor_ref, ee_ref, *,
         zbs.append(zb)
         zbws.append((zb.astype(jnp.float32) * wrow).astype(jnp.bfloat16))
         es.append((e * wrow).astype(jnp.bfloat16))
-    zpad = jnp.zeros((width - pack * p_pad, chunk), jnp.bfloat16)
-    zb_p = jnp.concatenate(zbs + [zpad], 0)
-    zbw_p = jnp.concatenate(zbws + [zpad], 0)
-    e_p = jnp.concatenate(es, 0)
+    if pack * p_pad < width:
+        zpad = jnp.zeros((width - pack * p_pad, chunk), jnp.bfloat16)
+        zbs.append(zpad)
+        zbws.append(zpad)
+    zb_p = jnp.concatenate(zbs, 0) if len(zbs) > 1 else zbs[0]
+    zbw_p = jnp.concatenate(zbws, 0) if len(zbws) > 1 else zbws[0]
+    e_p = jnp.concatenate(es, 0) if len(es) > 1 else es[0]
 
     def bdot(a, b):
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),

@@ -295,34 +295,129 @@ def sum_triples(t: Triple, axis: int = 0) -> Triple:
 # Naive-Bayes aggregate variants
 # ---------------------------------------------------------------------------
 
+def _nb_feature_block(xn, cd, schema: FeatureSchema) -> jax.Array:
+    """F = [1 ‖ x ‖ x² ‖ onehot(codes)]ᵀ, f32[1+2d+V, chunk] — every NB
+    aggregate section as one stacked feature matrix."""
+    n = xn.shape[-1] if xn.shape[0] else cd.shape[-1]
+    rows = [jnp.ones((1, n), jnp.float32)]
+    if schema.num_cols:
+        rows.append(xn)
+        rows.append(xn * xn)
+    if schema.cat_cols:
+        rows.append(onehot_block_t(cd, schema))
+    return jnp.concatenate(rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "num_groups",
+                                             "row_chunk"))
+def _nb_sums(x_num, codes, weights, group_ids, *, schema: FeatureSchema,
+             num_groups: int, row_chunk: int) -> jax.Array:
+    """Per-group NB sums as ONE segment-sum matmul: F[1+2d+V, n] @ Wᵀ[n, G]
+    — a single data pass on the MXU for any number of groups (the grouped
+    hash aggregation of sum_to_nb_agg.cpp:39-146 / GROUP BY label). The
+    feature block, one-hot expansion, and the [G, chunk] group mask are all
+    built per row chunk so nothing wider than the raw columns touches HBM:
+    the pass is bandwidth-bound on the inputs alone."""
+    n = weights.shape[-1]
+    gi = jax.lax.broadcasted_iota(jnp.int32, (num_groups, 1), 0)
+
+    def part(xn, cd, w, g):
+        feats = _nb_feature_block(xn, cd, schema)
+        wmat = (g[None, :] == gi).astype(jnp.float32) * w[None, :]
+        return jax.lax.dot_general(
+            feats, wmat, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+
+    if n <= row_chunk:
+        return part(x_num, codes, weights, group_ids)
+    x_num = _pad_cols(x_num, row_chunk)
+    codes = _pad_cols(codes, row_chunk)
+    weights = _pad_cols(weights, row_chunk)
+    # pad with an out-of-range group id so padded rows hit no group
+    gpad = jnp.full(((-n) % row_chunk,), num_groups, jnp.int32)
+    group_ids = jnp.concatenate([jnp.asarray(group_ids, jnp.int32), gpad])
+    nc = x_num.shape[-1] // row_chunk
+    xs = (x_num.reshape(x_num.shape[0], nc, row_chunk).swapaxes(0, 1),
+          codes.reshape(codes.shape[0], nc, row_chunk).swapaxes(0, 1),
+          weights.reshape(nc, row_chunk),
+          group_ids.reshape(nc, row_chunk))
+
+    def body(acc, chunk):
+        xn, cd, w, g = chunk
+        return acc + part(xn, cd, w, g), None
+
+    f = 1 + 2 * schema.num_cols + schema.vocab_size
+    out, _ = jax.lax.scan(body, jnp.zeros((f, num_groups), jnp.float32), xs)
+    return out
+
+
+def _nb_from_sums(sums: jax.Array, schema: FeatureSchema, squeeze: bool
+                  ) -> NBAgg:
+    d = schema.num_cols
+    if squeeze:
+        sums = sums[:, 0]
+        return NBAgg(n=sums[0], lin=sums[1:1 + d],
+                     quad_diag=sums[1 + d:1 + 2 * d],
+                     lin_cat=sums[1 + 2 * d:])
+    g = sums.T  # [G, F]
+    return NBAgg(n=g[:, 0], lin=g[:, 1:1 + d],
+                 quad_diag=g[:, 1 + d:1 + 2 * d],
+                 lin_cat=g[:, 1 + 2 * d:])
+
+
 @functools.partial(jax.jit, static_argnames=("schema", "row_chunk"))
 def sum_to_nb_agg(x_num=None, codes=None, weights=None, *,
                   schema: FeatureSchema,
                   row_chunk: int = DEFAULT_ROW_CHUNK) -> NBAgg:
     """Fused NB aggregate `sum_to_nb_agg_x_y(cols…)` (Triple::sum_to_nb_agg,
     sum/sum_to_nb_agg.cpp:39-146): lin + diagonal quad + category counts.
-    Pure column reductions — VPU-bound, one data pass."""
+    One data pass (the G=1 case of the segment-sum matmul)."""
     x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
-    w = weights[None, :]
-    b = onehot_block_t(codes, schema)
-    return NBAgg(
-        n=jnp.sum(weights),
-        lin=jnp.sum(x_num * w, axis=-1),
-        quad_diag=jnp.sum(x_num * x_num * w, axis=-1),
-        lin_cat=jnp.sum(b * w, axis=-1),
-    )
+    sums = _nb_sums(x_num, codes, weights, jnp.zeros((n,), jnp.int32),
+                    schema=schema, num_groups=1, row_chunk=row_chunk)
+    return _nb_from_sums(sums, schema, squeeze=True)
 
 
-@functools.partial(jax.jit, static_argnames=("schema", "num_groups"))
+@functools.partial(jax.jit, static_argnames=("schema", "num_groups",
+                                             "row_chunk"))
+def _sum_to_nb_agg_grouped_xla(x_num, codes, group_ids, *,
+                               schema: FeatureSchema, num_groups: int,
+                               weights=None,
+                               row_chunk: int = DEFAULT_ROW_CHUNK) -> NBAgg:
+    x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
+    sums = _nb_sums(x_num, codes, weights,
+                    jnp.asarray(group_ids, jnp.int32), schema=schema,
+                    num_groups=num_groups, row_chunk=row_chunk)
+    return _nb_from_sums(sums, schema, squeeze=False)
+
+
 def sum_to_nb_agg_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
-                          num_groups: int, weights=None) -> NBAgg:
-    """Grouped NB aggregate — one NBAgg per group (GROUP BY label)."""
-    x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
+                          num_groups: int, weights=None,
+                          row_chunk: int = DEFAULT_ROW_CHUNK,
+                          backend: str = "auto") -> NBAgg:
+    """Grouped NB aggregate — one NBAgg per group (GROUP BY label) in a
+    single data pass: the group masks form W[G, n] and all sections fall
+    out of one F @ Wᵀ matmul. Skew-immune by construction (a hot label is
+    just a denser column of W).
 
-    def one_group(g):
-        w = weights * (jnp.asarray(group_ids) == g).astype(jnp.float32)
-        return sum_to_nb_agg(x_num, codes, w, schema=schema)
-    return jax.vmap(one_group)(jnp.arange(num_groups))
+    backend: 'auto' | 'xla' | 'pallas'. XLA lowers the [F, n] × [n, G]
+    contraction to a tiny-output matmul (~3% MXU utilization); the Pallas
+    kernel (ring/kernels/nb_pallas.py) streams it bandwidth-bound and, for
+    binary weights, takes a single-bf16-pass split-precision path with
+    EXACT f32 sums. 'auto' picks pallas on TPU for large n."""
+    n = len(group_ids)
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() not in ("cpu",)
+        and n >= (1 << 20))
+    if use_pallas:
+        from .kernels.nb_pallas import sum_to_nb_agg_grouped_pallas
+        return sum_to_nb_agg_grouped_pallas(
+            x_num, codes, group_ids, schema=schema, num_groups=num_groups,
+            weights=weights)
+    return _sum_to_nb_agg_grouped_xla(
+        x_num, codes, group_ids, schema=schema, num_groups=num_groups,
+        weights=weights, row_chunk=row_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("schema",))

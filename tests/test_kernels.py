@@ -66,3 +66,57 @@ def test_sigma_pallas_fast_odd_sizes():
                                                   schema=schema))
     assert got[0, 0] == ref[0, 0]
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=0.3)
+
+
+def test_nb_pallas_grouped_interpret(data):
+    """Streaming NB grouped kernel (both precision variants) matches the
+    XLA segment-sum path; counts exact."""
+    from duckdb_imputation_tpu.ring.kernels.nb_pallas import (
+        sum_to_nb_agg_grouped_pallas,
+    )
+    from duckdb_imputation_tpu.ring.sum import _sum_to_nb_agg_grouped_xla
+
+    num, codes, w, schema = data
+    rng = np.random.default_rng(6)
+    g = rng.integers(0, 5, size=num.shape[-1]).astype(np.int32)
+    ref = _sum_to_nb_agg_grouped_xla(num, codes, g, schema=schema,
+                                     num_groups=5)
+    with pltpu.force_tpu_interpret_mode():
+        for fast in (False, True):
+            got = sum_to_nb_agg_grouped_pallas(
+                num, codes, g, schema=schema, num_groups=5, fast=fast)
+            np.testing.assert_array_equal(np.asarray(got.n),
+                                          np.asarray(ref.n))
+            np.testing.assert_array_equal(np.asarray(got.lin_cat),
+                                          np.asarray(ref.lin_cat))
+            np.testing.assert_allclose(np.asarray(got.lin),
+                                       np.asarray(ref.lin),
+                                       rtol=1e-6, atol=1e-3)
+            np.testing.assert_allclose(np.asarray(got.quad_diag),
+                                       np.asarray(ref.quad_diag),
+                                       rtol=1e-6, atol=5e-2)
+
+
+def test_nb_pallas_grouped_ragged_rows(data):
+    """Non-chunk-multiple row counts: zero-weight padding, padded rows hit
+    no group."""
+    from duckdb_imputation_tpu.ring.kernels.nb_pallas import (
+        sum_to_nb_agg_grouped_pallas,
+    )
+    from duckdb_imputation_tpu.ring.sum import _sum_to_nb_agg_grouped_xla
+
+    num, codes, w, schema = data
+    k = 5000  # not a multiple of anything relevant
+    num, codes, w = num[:, :k], codes[:, :k], w[:k]
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 3, size=k).astype(np.int32)
+    ref = _sum_to_nb_agg_grouped_xla(num, codes, g, schema=schema,
+                                     num_groups=3, weights=w)
+    with pltpu.force_tpu_interpret_mode():
+        got = sum_to_nb_agg_grouped_pallas(
+            num, codes, g, schema=schema, num_groups=3, weights=w,
+            chunk_cols=2048)
+    np.testing.assert_array_equal(np.asarray(got.n), np.asarray(ref.n))
+    np.testing.assert_allclose(np.asarray(got.quad_diag),
+                               np.asarray(ref.quad_diag),
+                               rtol=1e-6, atol=5e-2)
