@@ -243,3 +243,63 @@ def test_overlapped_no_numeric_cols(table):
     np.testing.assert_array_equal(np.asarray(over.cat_cat),
                                   np.asarray(single.cat_cat))
     np.testing.assert_array_equal(np.asarray(over.n), np.asarray(single.n))
+
+
+def test_mice_sharded_matches_device():
+    """The full sharded MICE loop (mice/sharded_round.py — psum'd
+    aggregation, replicated solve, shard-local write-back) recovers the
+    same imputations as the single-device fused loop."""
+    from duckdb_imputation_tpu.mice.device_round import run_mice_device
+    from duckdb_imputation_tpu.mice.sharded_round import run_mice_sharded
+    from duckdb_imputation_tpu.table import from_numpy
+
+    rng = np.random.default_rng(11)
+    n = 20_003  # deliberately not divisible by 8 (row padding path)
+    z = rng.normal(size=(n, 2))
+    num = np.stack([z[:, 0], 2 * z[:, 0] + z[:, 1], z[:, 1] - z[:, 0],
+                    rng.normal(size=n)], 1).astype(np.float32)
+    cat = ((z[:, 0] > 0).astype(int) * 3 + 4)[:, None]
+    nn = np.zeros_like(num, bool)
+    cn = np.zeros_like(cat, bool)
+    nn[rng.choice(n, n // 5, False), 1] = True
+    cn[rng.choice(n, n // 5, False), 0] = True
+
+    t1 = from_numpy(num, cat, nn, cn)
+    single = run_mice_device(t1, iters=2, gd_iters=300, noise=False,
+                             kernel="xla")
+    t2 = from_numpy(num, cat, nn, cn)
+    sharded = run_mice_sharded(t2, iters=2, gd_iters=300, noise=False,
+                               mesh=make_mesh())
+
+    xs = np.asarray(sharded.num_data)
+    xd = np.asarray(single.num_data)
+    # same imputations up to psum reduction order feeding the GD train
+    np.testing.assert_allclose(xs[1, nn[:, 1]], xd[1, nn[:, 1]], atol=1e-2)
+    # categorical imputations: identical class picks
+    assert (np.asarray(sharded.cat_codes)[0, cn[:, 0]]
+            == np.asarray(single.cat_codes)[0, cn[:, 0]]).mean() > 0.999
+    # and both recover the noiseless linear relation
+    truth = num[nn[:, 1], 1]
+    rmse = float(np.sqrt(np.mean((xs[1, nn[:, 1]] - truth) ** 2)))
+    assert rmse < 0.05, rmse
+
+
+def test_mice_sharded_with_noise_runs():
+    from duckdb_imputation_tpu.mice.sharded_round import run_mice_sharded
+    from duckdb_imputation_tpu.table import from_numpy
+
+    rng = np.random.default_rng(12)
+    n = 4096
+    b = rng.normal(size=n).astype(np.float32)
+    a = 3 * b
+    nn = np.zeros((n, 2), bool)
+    nn[rng.choice(n, n // 4, False), 0] = True
+    t = from_numpy(np.stack([a, b], 1), None, nn, None)
+    out = run_mice_sharded(t, iters=2, gd_iters=200, noise=True,
+                           mesh=make_mesh())
+    vals = np.asarray(out.num_data)[0]
+    assert np.isfinite(vals).all()
+    # noise actually varies across imputed rows
+    imputed = vals[nn[:, 0]]
+    resid = imputed - 3 * b[nn[:, 0]]
+    assert np.unique(np.round(resid, 6)).size > 10
