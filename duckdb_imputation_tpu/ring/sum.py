@@ -367,16 +367,38 @@ def _nb_from_sums(sums: jax.Array, schema: FeatureSchema, squeeze: bool
 
 
 @functools.partial(jax.jit, static_argnames=("schema", "row_chunk"))
-def sum_to_nb_agg(x_num=None, codes=None, weights=None, *,
-                  schema: FeatureSchema,
-                  row_chunk: int = DEFAULT_ROW_CHUNK) -> NBAgg:
-    """Fused NB aggregate `sum_to_nb_agg_x_y(cols…)` (Triple::sum_to_nb_agg,
-    sum/sum_to_nb_agg.cpp:39-146): lin + diagonal quad + category counts.
-    One data pass (the G=1 case of the segment-sum matmul)."""
+def _sum_to_nb_agg_xla(x_num=None, codes=None, weights=None, *,
+                       schema: FeatureSchema,
+                       row_chunk: int = DEFAULT_ROW_CHUNK) -> NBAgg:
     x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
     sums = _nb_sums(x_num, codes, weights, jnp.zeros((n,), jnp.int32),
                     schema=schema, num_groups=1, row_chunk=row_chunk)
     return _nb_from_sums(sums, schema, squeeze=True)
+
+
+def sum_to_nb_agg(x_num=None, codes=None, weights=None, *,
+                  schema: FeatureSchema,
+                  row_chunk: int = DEFAULT_ROW_CHUNK,
+                  backend: str = "auto") -> NBAgg:
+    """Fused NB aggregate `sum_to_nb_agg_x_y(cols…)` (Triple::sum_to_nb_agg,
+    sum/sum_to_nb_agg.cpp:39-146): lin + diagonal quad + category counts.
+    One data pass (the G=1 case of the segment-sum matmul); on TPU at large
+    n the streaming Pallas kernel (ring/kernels/nb_pallas.py)."""
+    n = (x_num.shape[-1] if x_num is not None
+         else jnp.asarray(codes).shape[-1])
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() not in ("cpu",)
+        and n >= (1 << 20))
+    if use_pallas:
+        from .kernels.nb_pallas import sum_to_nb_agg_grouped_pallas
+        x_num2, codes2, weights2, _ = _normalize_inputs(x_num, codes,
+                                                        weights)
+        agg = sum_to_nb_agg_grouped_pallas(
+            x_num2, codes2, jnp.zeros((n,), jnp.int32), schema=schema,
+            num_groups=1, weights=None if weights is None else weights2)
+        return jax.tree.map(lambda a: a[0], agg)
+    return _sum_to_nb_agg_xla(x_num, codes, weights, schema=schema,
+                              row_chunk=row_chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("schema", "num_groups",

@@ -1019,12 +1019,12 @@ class Connection:
             return val
         if fname == "sum_triple":
             inner = self._eval_lifted(args[0], grel)
-            val = api.sum_triple(inner)
+            val = api.sum_triple(inner) if inner.batched else inner
             val._sql_style = "agg"
             return val
         if fname == "sum_nb_agg":
             inner = self._eval_lifted(args[0], grel, nb=True)
-            val = api.sum_nb_agg(inner)
+            val = api.sum_nb_agg(inner) if inner.batched else inner
             val._sql_style = "agg"
             return val
         if fname == "list":

@@ -290,3 +290,28 @@ def test_to_table_handoff():
     vals = np.asarray(out.num_data)[0]
     mask = np.isnan(a)
     np.testing.assert_allclose(vals[mask], (b * 3.0)[mask], atol=0.05)
+
+
+def test_readme_factorized_join_query(con):
+    """The reference README's factorized-join example (README.md:163-174):
+    per-key triples multiplied along the join, then ring-summed."""
+    con.execute("CREATE TABLE test1(gb INTEGER, b FLOAT, c FLOAT, "
+                "d INTEGER, e INTEGER)")
+    con.execute("INSERT INTO test1 VALUES (1,2,3,4,5), (1,6,7,8,9), "
+                "(2,1,3,4,6)")
+    con.execute("CREATE TABLE test2(gb INTEGER, a FLOAT, c FLOAT, "
+                "d INTEGER, f INTEGER)")
+    con.execute("INSERT INTO test2 VALUES (1,2,3,4,6), (2,5,6,8,12), "
+                "(2,2,3,4,8)")
+    res = con.execute(
+        "select sum_triple(multiply_triple(A,B)) FROM "
+        "(SELECT gb as gb, sum_to_triple_2_2(b,c,d,e) AS A "
+        "FROM test1 GROUP BY gb) as a "
+        "INNER JOIN "
+        "(SELECT gb as gb, sum_to_triple_2_2(a,c,d,f) AS B "
+        "FROM test2 GROUP BY gb) as b "
+        "on a.gb = b.gb").fetchall()
+    out = res[0][0]
+    # N of the join-multiplied sum: sum over keys of N1(k)*N2(k)
+    assert out["N"] == 2 * 1 + 1 * 2
+    assert len(out["lin_agg"]) == 4  # 2 num cols from each side
