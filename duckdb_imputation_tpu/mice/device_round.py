@@ -108,31 +108,20 @@ def _lda_device(sigma: jax.Array, schema: FeatureSchema, label: int,
     return w, intercept, keep
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "gd_iters", "lda_shrinkage", "noise", "kernel"))
-def mice_round_device(x_num, codes, num_null, cat_null, key, *,
-                      schema: FeatureSchema,
-                      num_cols_to_impute: tuple[int, ...],
-                      cat_cols_to_impute: tuple[int, ...],
-                      gd_iters: int = 500, lda_shrinkage: float = 0.001,
-                      noise: bool = False, kernel: str = "xla"):
-    """One MICE round, entirely on device. Arrays are features-first.
-    Returns (x_num, codes, key). kernel='pallas_fast' uses the
-    split-precision MXU kernel (TPU; masks here are binary)."""
-    d = schema.num_cols
-    offs = schema.offsets
-    if kernel == "pallas_fast":
-        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_padded
-        agg = functools.partial(sigma_pallas_fast_padded, schema=schema)
-    else:
-        agg = functools.partial(masked_sigma, schema=schema)
-
-    # categorical columns first (imputation_base.cpp:18-87 ordering)
+def _round_columns(x_num, codes, num_null, cat_null, *,
+                   schema: FeatureSchema,
+                   num_cols_to_impute: tuple[int, ...],
+                   cat_cols_to_impute: tuple[int, ...],
+                   agg, gd_iters: int, lda_shrinkage: float,
+                   noise_key_for):
+    """One MICE round's per-column body, shared by the single-device and
+    sharded loops. `agg(x, c, null_row) -> sigma` abstracts how the
+    aggregate is produced (device-local kernel vs psum-combined shard_map);
+    `noise_key_for(col) -> key | None` abstracts the noise keying (None ⇒
+    deterministic prediction). Categorical columns first — the reference's
+    ordering (imputation_base.cpp:18-87)."""
     for col in cat_cols_to_impute:
-        w_mask = 1.0 - cat_null[col].astype(jnp.float32)
-        sigma = agg(x_num, codes, w_mask)
+        sigma = agg(x_num, codes, cat_null[col])
         w, intercept, keep = _lda_device(sigma, schema, col, lda_shrinkage)
         keep_feats = jnp.asarray(keep[1:])
 
@@ -146,21 +135,19 @@ def mice_round_device(x_num, codes, num_null, cat_null, key, *,
             x_num, codes, cat_null[col], col, lda_pred, "cat")
 
     for col in num_cols_to_impute:
-        w_mask = 1.0 - num_null[col].astype(jnp.float32)
-        sigma = agg(x_num, codes, w_mask)
+        sigma = agg(x_num, codes, num_null[col])
         coeff = linreg_train_device(sigma, label=col + 1,
                                     max_iters=gd_iters)
         theta = coeff * (1.0 - jax.nn.one_hot(col + 1, coeff.shape[0],
                                               dtype=coeff.dtype))
-        if noise:
-            key, sub = jax.random.split(key)
+        nkey = noise_key_for(col)
+        if nkey is not None:
             theta_full = coeff.at[col + 1].set(-1.0)
             var = (theta_full @ sigma @ theta_full
                    / jnp.maximum(sigma[0, 0], 1.0))
             std = jnp.sqrt(jnp.maximum(var, 0.0))
-            nkey = sub
         else:
-            std, nkey = None, None
+            std = None
 
         def lin_pred(xs, cs, i, theta=theta, std=std, nkey=nkey):
             pred = theta @ _zt_block(xs, cs, schema)
@@ -172,7 +159,44 @@ def mice_round_device(x_num, codes, num_null, cat_null, key, *,
         x_num, codes = _chunked_writeback(
             x_num, codes, num_null[col], col, lin_pred, "num")
 
-    return x_num, codes, key
+    return x_num, codes
+
+
+def _make_agg(kernel: str, schema: FeatureSchema):
+    """null-row mask → masked sigma via the chosen kernel."""
+    if kernel == "pallas_fast":
+        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_padded
+        base = functools.partial(sigma_pallas_fast_padded, schema=schema)
+    else:
+        base = functools.partial(masked_sigma, schema=schema)
+
+    def agg(x, c, null_row):
+        return base(x, c, 1.0 - null_row.astype(jnp.float32))
+    return agg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
+                     "gd_iters", "lda_shrinkage", "noise", "kernel"))
+def mice_round_device(x_num, codes, num_null, cat_null, key, *,
+                      schema: FeatureSchema,
+                      num_cols_to_impute: tuple[int, ...],
+                      cat_cols_to_impute: tuple[int, ...],
+                      gd_iters: int = 500, lda_shrinkage: float = 0.001,
+                      noise: bool = False, kernel: str = "xla"):
+    """One MICE round, entirely on device. Arrays are features-first.
+    Returns (x_num, codes, key). kernel='pallas_fast' uses the
+    split-precision MXU kernel (TPU; masks here are binary)."""
+    noise_key_for = ((lambda col: jax.random.fold_in(key, col)) if noise
+                     else (lambda col: None))
+    x_num, codes = _round_columns(
+        x_num, codes, num_null, cat_null, schema=schema,
+        num_cols_to_impute=num_cols_to_impute,
+        cat_cols_to_impute=cat_cols_to_impute,
+        agg=_make_agg(kernel, schema), gd_iters=gd_iters,
+        lda_shrinkage=lda_shrinkage, noise_key_for=noise_key_for)
+    return x_num, codes, jax.random.fold_in(key, 2 ** 20)
 
 
 @functools.partial(

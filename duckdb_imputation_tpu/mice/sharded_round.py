@@ -39,11 +39,10 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.device import linreg_train_device
 from ..ring.sum import masked_sigma
 from ..schema import FeatureSchema
 from ..table.table import Table
-from .device_round import _chunked_writeback, _lda_device
+from .device_round import _round_columns
 
 
 @functools.partial(
@@ -69,56 +68,26 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
         out_specs=(P(None, axis), P(None, axis)),
     )
     def local(x, c, nn, cn, val, k):
+        def agg(xx, cc, null_row):
+            w_mask = val * (1.0 - null_row.astype(jnp.float32))
+            return jax.lax.psum(
+                masked_sigma(xx, cc, w_mask, schema=schema), axis)
+
         def one_round(r, carry):
             x, c = carry
-            for col in cat_cols_to_impute:
-                w_mask = val * (1.0 - cn[col].astype(jnp.float32))
-                sigma = jax.lax.psum(
-                    masked_sigma(x, c, w_mask, schema=schema), axis)
-                w, intercept, keep = _lda_device(sigma, schema, col,
-                                                 lda_shrinkage)
-                keep_feats = jnp.asarray(keep[1:])
-
-                def lda_pred(xs, cs, i, w=w, intercept=intercept,
-                             keep_feats=keep_feats):
-                    from ..ring.sum import _zt_block
-                    zt = _zt_block(xs, cs, schema)
-                    scores = w.T @ zt[keep_feats] + intercept[:, None]
-                    return jnp.argmax(scores, axis=0)
-
-                x, c = _chunked_writeback(x, c, cn[col], col, lda_pred,
-                                          "cat")
-
-            for col in num_cols_to_impute:
-                w_mask = val * (1.0 - nn[col].astype(jnp.float32))
-                sigma = jax.lax.psum(
-                    masked_sigma(x, c, w_mask, schema=schema), axis)
-                coeff = linreg_train_device(sigma, label=col + 1,
-                                            max_iters=gd_iters)
-                theta = coeff * (1.0 - jax.nn.one_hot(
-                    col + 1, coeff.shape[0], dtype=coeff.dtype))
-                if noise:
-                    theta_full = coeff.at[col + 1].set(-1.0)
-                    var = (theta_full @ sigma @ theta_full
-                           / jnp.maximum(sigma[0, 0], 1.0))
-                    std = jnp.sqrt(jnp.maximum(var, 0.0))
-                    nkey = jax.random.fold_in(
-                        jax.random.fold_in(k, r * 131 + col),
-                        jax.lax.axis_index(axis))
-                else:
-                    std, nkey = None, None
-
-                def lin_pred(xs, cs, i, theta=theta, std=std, nkey=nkey):
-                    from ..ring.sum import _zt_block
-                    pred = theta @ _zt_block(xs, cs, schema)
-                    if std is not None:
-                        pred = pred + std * jax.random.normal(
-                            jax.random.fold_in(nkey, i), pred.shape)
-                    return pred
-
-                x, c = _chunked_writeback(x, c, nn[col], col, lin_pred,
-                                          "num")
-            return x, c
+            if noise:
+                shard = jax.lax.axis_index(axis)
+                noise_key_for = (
+                    lambda col: jax.random.fold_in(
+                        jax.random.fold_in(k, r * 131 + col), shard))
+            else:
+                noise_key_for = lambda col: None
+            return _round_columns(
+                x, c, nn, cn, schema=schema,
+                num_cols_to_impute=num_cols_to_impute,
+                cat_cols_to_impute=cat_cols_to_impute, agg=agg,
+                gd_iters=gd_iters, lda_shrinkage=lda_shrinkage,
+                noise_key_for=noise_key_for)
 
         x_out, c_out = jax.lax.fori_loop(0, iters, one_round, (x, c))
         return x_out, c_out
@@ -172,7 +141,8 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
         cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
         gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
         axis=axis)
-    x_out = np.asarray(x_out)[:, :n]
-    c_out = np.asarray(c_out)[:, :n]
-    return dataclasses.replace(t, num_data=jnp.asarray(x_out),
-                               cat_codes=jnp.asarray(c_out))
+    # drop the pad rows ON DEVICE — no host round trip of the full table
+    if pad:
+        x_out = x_out[:, :n]
+        c_out = c_out[:, :n]
+    return dataclasses.replace(t, num_data=x_out, cat_codes=c_out)

@@ -165,7 +165,7 @@ def sum_to_triple(x_num=None, codes=None, weights=None, *,
     n = (x_num.shape[-1] if x_num is not None
          else jnp.asarray(codes).shape[-1])
     use_pallas = backend in ("pallas", "pallas_fast") or (
-        backend == "auto" and jax.default_backend() not in ("cpu",)
+        backend == "auto" and jax.default_backend() in ("tpu", "axon")
         and n >= (1 << 20))
     if use_pallas:
         x_num2, codes2, weights2, _ = _normalize_inputs(x_num, codes, weights)
@@ -387,7 +387,7 @@ def sum_to_nb_agg(x_num=None, codes=None, weights=None, *,
     n = (x_num.shape[-1] if x_num is not None
          else jnp.asarray(codes).shape[-1])
     use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() not in ("cpu",)
+        backend == "auto" and jax.default_backend() in ("tpu", "axon")
         and n >= (1 << 20))
     if use_pallas:
         from .kernels.nb_pallas import sum_to_nb_agg_grouped_pallas
@@ -430,7 +430,7 @@ def sum_to_nb_agg_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
     EXACT f32 sums. 'auto' picks pallas on TPU for large n."""
     n = len(group_ids)
     use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() not in ("cpu",)
+        backend == "auto" and jax.default_backend() in ("tpu", "axon")
         and n >= (1 << 20))
     if use_pallas:
         from .kernels.nb_pallas import sum_to_nb_agg_grouped_pallas

@@ -821,7 +821,12 @@ class Connection:
 
         has_agg = any(_is_agg_call(e) for e, _ in items)
         if has_agg or group_by:
-            out = self._run_aggregate(items, rel, group_by, having)
+            # ORDER BY keys not in the select list ride along as hidden
+            # items evaluated per group, then get dropped after the sort
+            hidden = [(e, f"__order{i}") for i, (e, _) in enumerate(order_by)
+                      if not any(e == se for se, _ in items)]
+            out = self._run_aggregate(items + hidden, rel, group_by, having)
+            n_vis = len(items)
         else:
             out = Relation()
             for i, (e, alias) in enumerate(items):
@@ -831,11 +836,18 @@ class Connection:
                     continue
                 col = self._eval(e, rel)
                 out.add(alias or _expr_name(e, i), col)
+            hidden = []
+            n_vis = len(out.cols)
+            if order_by:
+                for i, (e, _) in enumerate(order_by):
+                    if not _refs_resolve(e, out):
+                        out.add(f"__order{i}", self._eval(e, rel))
+                        hidden.append((e, f"__order{i}"))
 
         if distinct:
             seen, keep = set(), []
             for r in range(out.n):
-                key = tuple(_pyval(c, r) for c in out.cols)
+                key = tuple(_pyval(c, r) for c in out.cols[:n_vis])
                 if key not in seen:
                     seen.add(key)
                     keep.append(r)
@@ -843,15 +855,21 @@ class Connection:
         if order_by:
             keys = []
             for e, desc in reversed(order_by):
-                col = self._eval(e, out if _refs_resolve(e, out) else rel)
+                hid = next((nm for he, nm in hidden if he == e), None)
+                col = (out.get(hid) if hid is not None
+                       else self._eval(e, out))
                 k = col.data
+                if k.dtype == object or k.dtype.kind in ("U", "S"):
+                    # factorize so DESC works for strings/objects too
+                    _, k = np.unique(np.asarray([str(v) for v in k]),
+                                     return_inverse=True)
                 if desc:
-                    k = -k if k.dtype != object else np.asarray(
-                        [(-v if isinstance(v, (int, float)) else v)
-                         for v in k], object)
+                    k = -k.astype(np.float64) if k.dtype != bool else ~k
                 keys.append(k)
             idx = np.lexsort(keys)
             out = out.take(idx)
+        if hidden:
+            out = Relation(out.names[:n_vis], out.cols[:n_vis])
         if limit is not None:
             out = out.take(np.arange(min(limit, out.n)))
         return out
@@ -1009,8 +1027,22 @@ class Connection:
         m = _GRID_RE.match(fname)
         if m or fname in ("sum_to_triple", "sum_to_nb_agg"):
             cols = [self._eval(a, grel) for a in args]
-            arrays = [(_numeric(c).astype(np.float32) if c.kind in ("f", "b")
-                       else c.data.astype(np.int64)) for c in cols]
+            if m:
+                # the _<x>_<y> suffix IS the signature: DuckDB would cast
+                # the first x args to FLOAT and the rest to INTEGER
+                # (duckdb_imputation_extension.cpp:97-111 registration)
+                n_num, n_cat = int(m.group(2)), int(m.group(3))
+                if len(cols) != n_num + n_cat:
+                    raise SQLError(f"{fname} expects {n_num + n_cat} "
+                                   f"columns, got {len(cols)}")
+                arrays = ([_numeric(c).astype(np.float32)
+                           for c in cols[:n_num]]
+                          + [_numeric(c).astype(np.int64)
+                             for c in cols[n_num:]])
+            else:
+                arrays = [(_numeric(c).astype(np.float32)
+                           if c.kind in ("f", "b")
+                           else c.data.astype(np.int64)) for c in cols]
             base = m.group(1) if m else fname
             fn = api.sum_to_triple if base == "sum_to_triple" \
                 else api.sum_to_nb_agg
@@ -1121,7 +1153,9 @@ class Connection:
                 with np.errstate(divide="ignore", invalid="ignore"):
                     d = x.astype(np.float64) / y
             else:
-                d = np.mod(x, y)
+                # SQL % is fmod (sign of the dividend), not np.mod
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    d = np.fmod(x, y)
             return Column(np.asarray(d), null)
         if kind == "cmp":
             a, b = self._eval(e[2], rel), self._eval(e[3], rel)
@@ -1396,7 +1430,8 @@ def _scalar_arith(op, a, b):
         return a * b
     if op == "/":
         return a / b
-    return a % b
+    import math
+    return math.fmod(a, b)
 
 
 def _scalar_cmp(op, a, b):

@@ -315,3 +315,48 @@ def test_readme_factorized_join_query(con):
     # N of the join-multiplied sum: sum over keys of N1(k)*N2(k)
     assert out["N"] == 2 * 1 + 1 * 2
     assert len(out["lin_agg"]) == 4  # 2 num cols from each side
+
+
+# -- regressions from code review ----------------------------------------------
+
+def test_order_by_group_key_not_in_select(con):
+    res = con.execute(
+        "SELECT AVG(a) FROM test GROUP BY gb ORDER BY gb DESC").fetchall()
+    assert [round(r[0], 4) for r in res] == [3.0, 3.0]
+    res = con.execute(
+        "SELECT COUNT(*) FROM test GROUP BY gb ORDER BY gb").fetchall()
+    assert [r[0] for r in res] == [2, 3]
+
+
+def test_order_by_hidden_column_after_distinct(con):
+    # DISTINCT output ordered by a column evaluated pre-distinct
+    res = con.execute("SELECT DISTINCT gb FROM test ORDER BY gb DESC"
+                      ).fetchall()
+    assert [r[0] for r in res] == [2, 1]
+
+
+def test_order_by_string_desc():
+    c = sql.connect()
+    c.execute("CREATE TABLE s(v VARCHAR)")
+    c.execute("INSERT INTO s VALUES ('a'), ('c'), ('b')")
+    res = c.execute("SELECT v FROM s ORDER BY v DESC").fetchall()
+    assert [r[0] for r in res] == ["c", "b", "a"]
+
+
+def test_grid_suffix_casts_arguments(con):
+    """The _<x>_<y> suffix IS the signature: integer columns in numeric
+    slots are cast to FLOAT like DuckDB's implicit argument cast."""
+    res = con.execute(
+        "SELECT sum_to_triple_6_0(a,b,c,d,e,f) FROM test").fetchone()[0]
+    assert len(res["lin_agg"]) == 6
+    assert res["lin_cat"] == []
+    with pytest.raises(sql.SQLError):
+        con.execute("SELECT sum_to_triple_2_2(a,b,c) FROM test")
+
+
+def test_modulo_sign():
+    c = sql.connect()
+    c.execute("CREATE TABLE m(x INTEGER)")
+    c.execute("INSERT INTO m VALUES (-7), (7)")
+    res = c.execute("SELECT x % 3 FROM m").fetchall()
+    assert [r[0] for r in res] == [-1, 1]
