@@ -165,6 +165,29 @@ def multiply_triple(a: Cofactor, b: Cofactor) -> Cofactor:
                     a.schema.concat(b.schema))
 
 
+def factorized_sum(a: Cofactor, b: Cofactor) -> Cofactor:
+    """Fused `sum_triple(multiply_triple(A, B))` over per-join-key triples —
+    the factorized-join aggregation of README.md:163-174 (and the intent of
+    the reference's dead factorized_imputation_*.h drivers) as one jitted
+    bundle of MXU contractions over the key axis.
+
+    `a`/`b` are batched Cofactors from `sum_to_triple(..., group_by=key)`
+    with the SAME num_groups (key space). Returns the single joined triple."""
+    if not (a.batched and b.batched):
+        raise ValueError("factorized_sum needs per-key (batched) cofactors; "
+                         "use sum_to_triple(..., group_by=join_key)")
+    fused = jax.jit(ring_triple.factorized_join_sum)
+    return Cofactor(fused(a.triple, b.triple), a.schema.concat(b.schema))
+
+
+def factorized_sum_nb(a: NBValue, b: NBValue) -> NBValue:
+    """NB-aggregate factorized join-sum (see factorized_sum)."""
+    if not (a.batched and b.batched):
+        raise ValueError("factorized_sum_nb needs per-key (batched) aggs")
+    fused = jax.jit(ring_triple.factorized_join_sum_nb)
+    return NBValue(fused(a.agg, b.agg), a.schema.concat(b.schema))
+
+
 def subtract_triple(a: Cofactor, b: Cofactor) -> Cofactor:
     """Client-side `Triple::subtract_triple` — the MICE delta operator
     (imputation/triple/sub.cpp)."""

@@ -158,6 +158,62 @@ def triple_multiply(a: Triple, b: Triple) -> Triple:
                   num_cat=num_cat, cat_cat=cat_cat)
 
 
+def factorized_join_sum(a: Triple, b: Triple) -> Triple:
+    """Fused `sum_triple(multiply_triple(A, B))` over aligned per-key triples —
+    the reference's factorized-join aggregation (README.md:163-174: grouped
+    triples per side, ring product per join key, ring sum over keys; see also
+    the dead driver headers imputation/include/factorized_imputation_*.h).
+
+    `a` and `b` are batched triples indexed by the join key, g = 0..G-1
+    (missing keys contribute N=0 and therefore vanish, since every block of
+    the product is scaled by the other side's count). Instead of
+    materializing G ring products ([G, d+d', d+d'] quad blocks) and summing,
+    each block of the sum IS a contraction over the key axis:
+
+      Sum_g outer(lin_a[g], lin_b[g])  =  lin_a^T @ lin_b     (one MXU matmul)
+      Sum_g quad_a[g] * nb[g]          =  einsum('gij,g->ij')
+
+    so the whole join-aggregate compiles to a handful of matmuls — O(G * m^2)
+    FLOPs and O(m^2) memory, never O(G * m^2) memory."""
+    na, nb = a.n, b.n
+    w = lambda x, s: jnp.einsum('g...,g->...', x, s)
+    quad = jnp.block([
+        [w(a.quad, nb), a.lin.T @ b.lin],
+        [b.lin.T @ a.lin, w(b.quad, na)],
+    ])
+    num_cat = jnp.block([
+        [w(a.num_cat, nb), a.lin.T @ b.lin_cat],
+        [b.lin.T @ a.lin_cat, w(b.num_cat, na)],
+    ])
+    cross = a.lin_cat.T @ b.lin_cat
+    cat_cat = jnp.block([
+        [w(a.cat_cat, nb), cross],
+        [cross.T, w(b.cat_cat, na)],
+    ])
+    return Triple(
+        n=jnp.vdot(na, nb),
+        lin=jnp.concatenate([w(a.lin, nb), w(b.lin, na)], axis=-1),
+        quad=quad,
+        lin_cat=jnp.concatenate([w(a.lin_cat, nb), w(b.lin_cat, na)], axis=-1),
+        num_cat=num_cat,
+        cat_cat=cat_cat,
+    )
+
+
+def factorized_join_sum_nb(a: NBAgg, b: NBAgg) -> NBAgg:
+    """NB-aggregate version of factorized_join_sum
+    (sum_nb_agg over multiply_nb_agg products, mul_nb.cpp:20-268)."""
+    na, nb = a.n, b.n
+    w = lambda x, s: jnp.einsum('g...,g->...', x, s)
+    return NBAgg(
+        n=jnp.vdot(na, nb),
+        lin=jnp.concatenate([w(a.lin, nb), w(b.lin, na)], axis=-1),
+        quad_diag=jnp.concatenate(
+            [w(a.quad_diag, nb), w(b.quad_diag, na)], axis=-1),
+        lin_cat=jnp.concatenate([w(a.lin_cat, nb), w(b.lin_cat, na)], axis=-1),
+    )
+
+
 def nb_multiply(a: NBAgg, b: NBAgg) -> NBAgg:
     """Ring product for NB aggregates (Triple::multiply_nb, mul_nb.cpp:20-268):
     diagonal-quad scaling only, no cross sections."""

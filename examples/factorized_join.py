@@ -54,18 +54,12 @@ def main():
     print(f"SQL factorized join triple: N={res['N']} "
           f"lin={['%.1f' % v for v in res['lin_agg']]}")
 
-    # ---- direct API: grouped triples → ring multiply → ring sum ----------
+    # ---- direct API: grouped triples → fused contraction over keys -------
+    # factorized_sum ≡ sum_triple(multiply_triple(A, B)) over all keys, as a
+    # handful of MXU matmuls — no per-key products ever materialize.
     t1 = api.sum_to_triple(b, c1, d, group_by=gb1, num_groups=args.keys)
     t2 = api.sum_to_triple(a, c2, f, group_by=gb2, num_groups=args.keys)
-    total = None
-    import jax
-    for k in range(args.keys):
-        pk = api.Cofactor(jax.tree.map(lambda x, k=k: x[k], t1.triple),
-                          t1.schema)
-        qk = api.Cofactor(jax.tree.map(lambda x, k=k: x[k], t2.triple),
-                          t2.schema)
-        prod = api.multiply_triple(pk, qk)
-        total = prod if total is None else total + prod
+    total = api.factorized_sum(t1, t2)
     print(f"API factorized join triple:  N={float(np.asarray(total.triple.n)):.0f}")
 
     # sanity: N equals the materialized join's row count

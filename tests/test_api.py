@@ -102,3 +102,71 @@ def test_mice_surface():
     rmse = np.sqrt(np.mean(
         (np.asarray(out.num_data)[0, nn[:, 0]] - num[nn[:, 0], 0]) ** 2))
     assert rmse < 0.6
+
+
+def test_factorized_sum_matches_per_key_products():
+    """factorized_sum ≡ sum over keys of multiply_triple — i.e. the fused
+    contraction path equals the reference's sum_triple(multiply_triple(A,B))
+    plan (README.md:163-174) computed key by key, and both equal the triple
+    of the physically materialized join."""
+    import jax
+    rng = np.random.default_rng(7)
+    keys = 6
+    n1, n2 = 40, 28
+    gb1 = rng.integers(0, keys, n1)
+    b = rng.normal(size=n1).astype(np.float32)
+    d = rng.integers(0, 3, n1).astype(np.int64) * 2
+    gb2 = rng.integers(0, keys, n2)
+    a_col = rng.normal(size=n2).astype(np.float32)
+    f = rng.integers(0, 2, n2).astype(np.int64) + 10
+
+    A = api.sum_to_triple(b, d, group_by=gb1, num_groups=keys)
+    B = api.sum_to_triple(a_col, f, group_by=gb2, num_groups=keys)
+    fused = api.factorized_sum(A, B)
+
+    total = None
+    for k in range(keys):
+        ak = api.Cofactor(jax.tree.map(lambda x, k=k: x[k], A.triple), A.schema)
+        bk = api.Cofactor(jax.tree.map(lambda x, k=k: x[k], B.triple), B.schema)
+        prod = api.multiply_triple(ak, bk)
+        total = prod if total is None else total + prod
+
+    for lhs, rhs in zip(jax.tree.leaves(fused.triple),
+                        jax.tree.leaves(total.triple)):
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-5, atol=1e-4)
+
+    # vs the materialized join (schema fixed so vocab/order match)
+    ii, jj = np.nonzero(gb1[:, None] == gb2[None, :])
+    joined = api.sum_to_triple(b[ii], a_col[jj], d[ii], f[jj],
+                               schema=fused.schema)
+    assert float(np.asarray(fused.triple.n)) == len(ii)
+    for lhs, rhs in zip(jax.tree.leaves(fused.triple),
+                        jax.tree.leaves(joined.triple)):
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_factorized_sum_nb_matches_per_key_products():
+    import jax
+    rng = np.random.default_rng(3)
+    keys = 4
+    gb1 = rng.integers(0, keys, 30)
+    x1 = rng.normal(size=30).astype(np.float32)
+    c1 = rng.integers(0, 3, 30).astype(np.int64)
+    gb2 = rng.integers(0, keys, 20)
+    x2 = rng.normal(size=20).astype(np.float32)
+
+    A = api.sum_to_nb_agg(x1, c1, group_by=gb1, num_groups=keys)
+    B = api.sum_to_nb_agg(x2, group_by=gb2, num_groups=keys)
+    fused = api.factorized_sum_nb(A, B)
+
+    total = None
+    for k in range(keys):
+        ak = api.NBValue(jax.tree.map(lambda x, k=k: x[k], A.agg), A.schema)
+        bk = api.NBValue(jax.tree.map(lambda x, k=k: x[k], B.agg), B.schema)
+        prod = api.multiply_nb_agg(ak, bk)
+        total = prod if total is None else total + prod
+    for lhs, rhs in zip(jax.tree.leaves(fused.agg), jax.tree.leaves(total.agg)):
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-5, atol=1e-4)
