@@ -210,3 +210,39 @@ def dict_to_nb(d: dict, schema: FeatureSchema | None = None
     t = NBAgg(n=np.float32(d["N"]), lin=np.asarray(lin, np.float32),
               quad_diag=np.asarray(quad, np.float32), lin_cat=lin_cat)
     return t, schema
+
+
+def align_triple(t: Triple, schema: FeatureSchema,
+                 target: FeatureSchema) -> Triple:
+    """Re-embed a dense triple into a superset vocabulary layout.
+
+    The reference's ring sums merge hash maps, so triples with different
+    key sets combine implicitly (SumStateCombine, sum_state.cpp:37-96);
+    dense triples must instead be scattered into a common (union) schema
+    before elementwise combination."""
+    import jax.numpy as jnp
+    if target == schema:
+        return t
+    m = jnp.asarray(schema.vocab_map(target))
+    vn = target.vocab_size
+    d = schema.num_cols
+    batch = t.n.shape  # () or (G,)
+    lin_cat = jnp.zeros(batch + (vn,), t.lin_cat.dtype).at[..., m].set(t.lin_cat)
+    num_cat = jnp.zeros(batch + (d, vn), t.num_cat.dtype) \
+        .at[..., :, m].set(t.num_cat)
+    cat_cat = jnp.zeros(batch + (vn, vn), t.cat_cat.dtype) \
+        .at[..., m[:, None], m[None, :]].set(t.cat_cat)
+    return Triple(n=t.n, lin=t.lin, quad=t.quad, lin_cat=lin_cat,
+                  num_cat=num_cat, cat_cat=cat_cat)
+
+
+def align_nb(t: NBAgg, schema: FeatureSchema, target: FeatureSchema) -> NBAgg:
+    """NB-aggregate version of align_triple."""
+    import jax.numpy as jnp
+    if target == schema:
+        return t
+    m = jnp.asarray(schema.vocab_map(target))
+    batch = t.n.shape
+    lin_cat = jnp.zeros(batch + (target.vocab_size,),
+                        t.lin_cat.dtype).at[..., m].set(t.lin_cat)
+    return NBAgg(n=t.n, lin=t.lin, quad_diag=t.quad_diag, lin_cat=lin_cat)

@@ -116,6 +116,33 @@ class FeatureSchema:
             cat_keys=self.cat_keys + other.cat_keys,
         )
 
+    def union(self, other: "FeatureSchema") -> "FeatureSchema":
+        """Schema covering both operands of a ring sum: per-column sorted
+        union of category vocabularies. This is what the reference's map
+        merge does implicitly (SumStateCombine upserts unseen keys,
+        sum_state.cpp:37-96; client-side sum.cpp map merge)."""
+        if (self.num_cols != other.num_cols
+                or self.cat_cols != other.cat_cols):
+            raise ValueError("ring sum of triples with different column sets")
+        keys = tuple(tuple(sorted(set(a) | set(b)))
+                     for a, b in zip(self.cat_keys, other.cat_keys))
+        return FeatureSchema(num_cols=self.num_cols, cat_keys=keys)
+
+    def vocab_map(self, target: "FeatureSchema") -> np.ndarray:
+        """Index map i64[V] sending this schema's flat vocab positions to
+        `target`'s (target's per-column vocab must be a superset)."""
+        out = np.empty(self.vocab_size, dtype=np.int64)
+        toff = target.offsets
+        for j, (mine, theirs) in enumerate(zip(self.cat_keys,
+                                               target.cat_keys)):
+            tk = np.asarray(theirs, dtype=np.int64)
+            pos = np.searchsorted(tk, np.asarray(mine, dtype=np.int64))
+            if len(mine) and (pos >= len(theirs)).any() or \
+                    (len(mine) and (tk[pos] != np.asarray(mine)).any()):
+                raise ValueError(f"cat col {j}: vocab not a subset of target")
+            out[self.offsets[j]:self.offsets[j + 1]] = toff[j] + pos
+        return out
+
     def drop_first(self) -> "FeatureSchema":
         """Drop the first category of every column (QDA collinearity guard,
         ML/utils.cpp:565-572)."""

@@ -1104,10 +1104,67 @@ class Connection:
                        else c.data.astype(np.int64)) for c in cols]
             return (api.to_nb_agg if nb or e[1] == "to_nb_agg"
                     else api.to_cofactor)(*arrays)
+        if e[0] == "call" and e[1] in ("multiply_triple", "multiply_nb_agg"):
+            # sum_triple(multiply_triple(A, B)) — the factorized-join plan
+            # (README.md:163-174). Fuse the per-key products and their sum
+            # into ONE device dispatch of MXU contractions over the key axis
+            # (ring.triple.factorized_join_sum) instead of 2 dispatches per
+            # joined row.
+            import jax
+            import jax.numpy as jnp
+            from .ring import triple as ring_triple
+            a = self._eval(e[2][0], grel)
+            b = self._eval(e[2][1], grel)
+            ok = ~(a.null | b.null)
+            av = [v for v, m in zip(a.data, ok) if m]
+            bv = [v for v, m in zip(b.data, ok) if m]
+            if av and (all(isinstance(v, api.Cofactor) and not v.batched
+                           for v in av + bv) or
+                       all(isinstance(v, api.NBValue) and not v.batched
+                           for v in av + bv)):
+                from .ring import serialize as _ser
+                from functools import reduce
+
+                def stack(objs, attr, align):
+                    # per-key triples may carry per-key vocabularies (SQL
+                    # GROUP BY infers a schema per group); re-embed into the
+                    # union schema before stacking
+                    us = reduce(lambda s, o: s.union(o.schema), objs[1:],
+                                objs[0].schema)
+                    ts = [align(getattr(o, attr), o.schema, us)
+                          for o in objs]
+                    return jax.tree.map(lambda *xs: jnp.stack(xs), *ts), us
+                if isinstance(av[0], api.Cofactor):
+                    at, asch = stack(av, "triple", _ser.align_triple)
+                    bt, bsch = stack(bv, "triple", _ser.align_triple)
+                    return api.Cofactor(
+                        ring_triple.factorized_join_sum(at, bt),
+                        asch.concat(bsch))
+                at, asch = stack(av, "agg", _ser.align_nb)
+                bt, bsch = stack(bv, "agg", _ser.align_nb)
+                return api.NBValue(
+                    ring_triple.factorized_join_sum_nb(at, bt),
+                    asch.concat(bsch))
         col = self._eval(e, grel)
         if col.kind != "o":
             raise SQLError("sum_triple expects triples")
         vals = [v for v, isnull in zip(col.data, col.null) if not isnull]
+        # align heterogeneous vocabularies onto the union schema (the map
+        # merge of the reference's ring sum, sum_state.cpp:37-96)
+        if (len(vals) > 1 and isinstance(vals[0], (api.Cofactor, api.NBValue))
+                and any(v.schema != vals[0].schema for v in vals[1:])):
+            from functools import reduce
+            from .ring import serialize as _ser
+            us = reduce(lambda s, v: s.union(v.schema), vals[1:],
+                        vals[0].schema)
+            if isinstance(vals[0], api.Cofactor):
+                vals = [api.Cofactor(
+                    _ser.align_triple(v.triple, v.schema, us), us,
+                    v.batched) for v in vals]
+            else:
+                vals = [api.NBValue(
+                    _ser.align_nb(v.agg, v.schema, us), us, v.batched)
+                    for v in vals]
         total = vals[0]
         for v in vals[1:]:
             total = total + v

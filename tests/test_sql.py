@@ -360,3 +360,31 @@ def test_modulo_sign():
     c.execute("INSERT INTO m VALUES (-7), (7)")
     res = c.execute("SELECT x % 3 FROM m").fetchall()
     assert [r[0] for r in res] == [-1, 1]
+
+
+def test_factorized_join_equals_materialized_join(con):
+    """The factorized plan's FULL triple (including all categorical
+    sections) equals aggregating over the physically materialized join.
+    Pins the union-schema alignment of per-key triples: per-group vocabs
+    differ, so this fails if products are combined without re-embedding."""
+    con.execute("CREATE TABLE fj1(gb INTEGER, b FLOAT, c FLOAT, "
+                "d INTEGER, e INTEGER)")
+    con.execute("INSERT INTO fj1 VALUES (1,2,3,4,5), (1,6,7,8,9), "
+                "(2,1,3,4,6)")
+    con.execute("CREATE TABLE fj2(gb INTEGER, a FLOAT, c FLOAT, "
+                "d INTEGER, f INTEGER)")
+    con.execute("INSERT INTO fj2 VALUES (1,2,3,4,6), (2,5,6,8,12), "
+                "(2,2,3,4,8)")
+    fz = con.execute(
+        "select sum_triple(multiply_triple(A,B)) FROM "
+        "(SELECT gb as gb, sum_to_triple_2_2(b,c,d,e) AS A "
+        "FROM fj1 GROUP BY gb) as a "
+        "INNER JOIN "
+        "(SELECT gb as gb, sum_to_triple_2_2(a,c,d,f) AS B "
+        "FROM fj2 GROUP BY gb) as b "
+        "on a.gb = b.gb").fetchone()[0]
+    mat = con.execute(
+        "SELECT sum_to_triple_4_4(t1.b, t1.c, t2.a, t2.c, "
+        "t1.d, t1.e, t2.d, t2.f) FROM fj1 t1 "
+        "INNER JOIN fj2 t2 ON t1.gb = t2.gb").fetchone()[0]
+    assert fz == mat
