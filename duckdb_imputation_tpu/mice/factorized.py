@@ -53,12 +53,15 @@ def run_mice_factorized(fact: Table, fact_key, dim: Table, dim_key=None,
                         linreg_lambda: float = 0.0,
                         linreg_iters: int = 10000, noise: bool = True,
                         seed: int = 0,
-                        timer: PhaseTimer | None = None) -> Table:
+                        timer: PhaseTimer | None = None,
+                        grouped_aggregate=sum_to_triple_grouped) -> Table:
     """MICE over `fact JOIN dim ON fact_key = dim_key`, imputing the fact
     table's null columns; models train on the joined feature space.
 
     fact_key: i64[n_fact] join-key codes in [0, num_keys).
     dim_key:  i64[n_dim] unique key per dim row (default: row g <-> key g).
+    grouped_aggregate: may be swapped for the multi-chip implementation
+      (parallel.sum_to_triple_grouped_sharded).
     Column order of the joined feature space follows the ring product
     (mul.cpp:97-107): [fact nums ‖ dim nums], [fact cats ‖ dim cats] — so a
     fact column keeps its index as the training label.
@@ -76,7 +79,7 @@ def run_mice_factorized(fact: Table, fact_key, dim: Table, dim_key=None,
         num_keys = int(max(fact_key.max(), dim_key.max())) + 1
         row_of_key = _dim_row_of_key(dim_key, num_keys)
         # the complete dimension side: per-key triples, aggregated ONCE
-        dim_grouped = sum_to_triple_grouped(
+        dim_grouped = grouped_aggregate(
             dim.num_data, dim.cat_codes, dim_key, schema=ds,
             num_groups=num_keys)
         # dimension attributes of each fact row (for prediction)
@@ -97,8 +100,8 @@ def run_mice_factorized(fact: Table, fact_key, dim: Table, dim_key=None,
     def train_triple(num, codes, w):
         # grouped fact aggregate does host-side group prep; the contraction
         # over keys is the jitted MXU bundle
-        fg = sum_to_triple_grouped(num, codes, fact_key, schema=fs,
-                                   num_groups=num_keys, weights=w)
+        fg = grouped_aggregate(num, codes, fact_key, schema=fs,
+                               num_groups=num_keys, weights=w)
         return fused_join(fg, dim_grouped)
     key = jax.random.PRNGKey(seed)
 

@@ -2,12 +2,14 @@ from .mesh import DATA_AXIS, make_mesh, replicated, row_sharding
 from .overlap import sum_to_triple_overlapped
 from .sharded import (
     build_vocab_sharded,
+    factorized_join_sum_sharded,
     sum_to_triple_grouped_sharded,
     sum_to_triple_sharded,
 )
 from .sharded2d import make_mesh_2d, sum_to_triple_sharded2d
 
 __all__ = ["DATA_AXIS", "make_mesh", "replicated", "row_sharding",
-           "build_vocab_sharded", "sum_to_triple_grouped_sharded",
+           "build_vocab_sharded", "factorized_join_sum_sharded",
+           "sum_to_triple_grouped_sharded",
            "sum_to_triple_sharded", "make_mesh_2d", "sum_to_triple_sharded2d",
            "sum_to_triple_overlapped"]

@@ -139,3 +139,28 @@ def build_vocab_sharded(cat_data, mesh=None) -> tuple[tuple[int, ...], ...]:
     cat_data = np.asarray(cat_data)
     return tuple(tuple(int(v) for v in np.unique(cat_data[j]))
                  for j in range(cat_data.shape[0]))
+
+
+def factorized_join_sum_sharded(x1=None, codes1=None, keys1=None,
+                                x2=None, codes2=None, keys2=None, *,
+                                schema1: FeatureSchema,
+                                schema2: FeatureSchema,
+                                num_keys: int, weights1=None, weights2=None,
+                                mesh=None,
+                                row_chunk: int = DEFAULT_ROW_CHUNK,
+                                axis: str = DATA_AXIS) -> Triple:
+    """Sharded factorized join-aggregate: each side's rows are sharded over
+    the mesh; per-key partial triples are built shard-locally and psum'd
+    (one collective per side), then the product-sum over join keys runs as
+    replicated MXU contractions (ring.triple.factorized_join_sum) — the
+    [G]-batched triples are tiny next to the row data, so the join itself
+    costs no communication at all."""
+    from ..ring.triple import factorized_join_sum
+    mesh = mesh or make_mesh()
+    t1 = sum_to_triple_grouped_sharded(
+        x1, codes1, keys1, schema=schema1, num_groups=num_keys,
+        weights=weights1, mesh=mesh, row_chunk=row_chunk, axis=axis)
+    t2 = sum_to_triple_grouped_sharded(
+        x2, codes2, keys2, schema=schema2, num_groups=num_keys,
+        weights=weights2, mesh=mesh, row_chunk=row_chunk, axis=axis)
+    return factorized_join_sum(t1, t2)

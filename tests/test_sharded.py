@@ -303,3 +303,63 @@ def test_mice_sharded_with_noise_runs():
     imputed = vals[nn[:, 0]]
     resid = imputed - 3 * b[nn[:, 0]]
     assert np.unique(np.round(resid, 6)).size > 10
+
+
+def test_factorized_join_sharded_equals_single(table):
+    """Sharded factorized join-aggregate == single-device fused contraction
+    (and therefore == the materialized join, pinned elsewhere)."""
+    from duckdb_imputation_tpu.parallel import factorized_join_sum_sharded
+    from duckdb_imputation_tpu.ring.triple import factorized_join_sum
+    num, cat, g, w, schema = table
+    rng = np.random.default_rng(9)
+    keys = 16
+    k1 = rng.integers(0, keys, num.shape[0]).astype(np.int32)
+    n2 = 3000
+    num2 = rng.normal(size=(n2, 2)).astype(np.float32)
+    cat2 = rng.integers(0, 3, size=(n2, 1)) * 5
+    k2 = rng.integers(0, keys, n2).astype(np.int32)
+    s2 = FeatureSchema.infer(num2, cat2)
+
+    x1, c1 = num.T, schema.encode(cat).T
+    x2, c2 = num2.T, s2.encode(cat2).T
+    single = factorized_join_sum(
+        sum_to_triple_grouped(x1, c1, k1, schema=schema, num_groups=keys),
+        sum_to_triple_grouped(x2, c2, k2, schema=s2, num_groups=keys))
+    sharded = factorized_join_sum_sharded(
+        x1, c1, k1, x2, c2, k2, schema1=schema, schema2=s2,
+        num_keys=keys, mesh=make_mesh())
+    np.testing.assert_allclose(np.asarray(sharded.n), np.asarray(single.n))
+    for lhs, rhs in zip(jax.tree.leaves(sharded), jax.tree.leaves(single)):
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-4, atol=1e-2)
+
+
+def test_mice_factorized_sharded_matches_plain():
+    """Factorized MICE with the sharded grouped aggregate swapped in gives
+    the same imputation as the single-device grouped aggregate."""
+    from duckdb_imputation_tpu.table import from_numpy
+    from duckdb_imputation_tpu.mice import run_mice_factorized
+    from duckdb_imputation_tpu.parallel import sum_to_triple_grouped_sharded
+    import functools
+
+    rng = np.random.default_rng(5)
+    keys, n = 8, 4000
+    dz = (rng.normal(size=keys) * 2).astype(np.float32)
+    dim = from_numpy(dz[:, None], rng.integers(0, 3, keys)[:, None])
+    fk = rng.integers(0, keys, n)
+    x2 = rng.normal(size=n).astype(np.float32)
+    x1 = (1.5 * dz[fk] + 0.5 * x2).astype(np.float32)
+    nn = np.zeros((n, 2), bool)
+    nn[rng.choice(n, n // 4, replace=False), 0] = True
+    fact = from_numpy(np.stack([x1, x2], 1), rng.integers(0, 2, n)[:, None],
+                      nn, np.zeros((n, 1), bool))
+
+    kw = dict(iters=2, linreg_iters=200, noise=False)
+    plain = run_mice_factorized(fact, fk, dim, **kw)
+    sharded = run_mice_factorized(
+        fact, fk, dim,
+        grouped_aggregate=functools.partial(
+            sum_to_triple_grouped_sharded, mesh=make_mesh()), **kw)
+    np.testing.assert_allclose(np.asarray(sharded.num_data),
+                               np.asarray(plain.num_data),
+                               rtol=1e-3, atol=1e-3)
