@@ -146,3 +146,106 @@ def run_mice_factorized(fact: Table, fact_key, dim: Table, dim_key=None,
                     add_noise=noise, key=sub)
                 fact = fact.with_num_col(col, pred)
     return fact
+
+
+def run_mice_star(fact: Table, fact_keys, dims, dim_keys=None,
+                  num_null_cols=None, cat_null_cols=None,
+                  iters: int = 5, *, lda_shrinkage: float = 0.001,
+                  linreg_step: float = 0.001, linreg_lambda: float = 0.0,
+                  linreg_iters: int = 10000, noise: bool = True,
+                  seed: int = 0, timer: PhaseTimer | None = None) -> Table:
+    """MICE over a multi-dimension star schema
+    `fact ⋈ dims[0] ⋈ dims[1] ⋈ …` with a DIFFERENT FK per dimension —
+    beyond what the reference's shared-key multiply chain can express
+    (SURVEY.md §2 L4 dead headers; see ring/star.py for the algebra).
+    Training triples come from `ring.star.star_join_triple`: O(fact rows)
+    segment-sums + MXU contractions per column, join never materialized.
+
+    fact_keys: per dimension, i64[n_fact] FK codes.
+    dims: list of complete dimension Tables; dim_keys[i] (optional) gives
+      each dim row's unique key (default: row g <-> key g).
+    """
+    from ..ring.star import star_join_triple, star_schema
+
+    timer = timer or PhaseTimer()
+    nd = len(dims)
+    fact_keys = [np.asarray(k, dtype=np.int64) for k in fact_keys]
+    with timer.phase("prepare"):
+        fact = init_fill(fact)
+        fs = fact.schema
+        dss = [d.schema for d in dims]
+        joined = star_schema(fs, dss)
+        if dim_keys is None:
+            dim_keys = [np.arange(d.n_rows, dtype=np.int64) for d in dims]
+        num_keys = tuple(int(max(fk.max(), dk.max())) + 1
+                         for fk, dk in zip(fact_keys, dim_keys))
+        gathers, dim_arrays, dim_num_g, dim_cat_g = [], [], [], []
+        for i, d in enumerate(dims):
+            row_of_key = _dim_row_of_key(np.asarray(dim_keys[i], np.int64),
+                                         num_keys[i])
+            order = jnp.asarray(row_of_key)   # key -> dim row
+            xnum = (d.num_data[:, order] if dss[i].num_cols
+                    else jnp.zeros((0, num_keys[i]), jnp.float32))
+            codes = (d.cat_codes[:, order] if dss[i].cat_cols
+                     else jnp.zeros((0, num_keys[i]), jnp.int32))
+            dim_arrays.append((xnum, codes))
+            g = jnp.asarray(row_of_key[fact_keys[i]])
+            dim_num_g.append(d.num_data[:, g] if dss[i].num_cols
+                             else jnp.zeros((0, fact.n_rows), jnp.float32))
+            dim_cat_g.append(d.cat_codes[:, g] if dss[i].cat_cols
+                             else jnp.zeros((0, fact.n_rows), jnp.int32))
+        dim_num_g = jnp.concatenate(dim_num_g, axis=0) if nd else \
+            jnp.zeros((0, fact.n_rows), jnp.float32)
+        dim_cat_g = jnp.concatenate(dim_cat_g, axis=0) if nd else \
+            jnp.zeros((0, fact.n_rows), jnp.int32)
+        if num_null_cols is None:
+            num_null_cols = [j for j in range(fs.num_cols)
+                             if bool(np.asarray(fact.num_null[j]).any())]
+        if cat_null_cols is None:
+            cat_null_cols = [j for j in range(fs.cat_cols)
+                             if bool(np.asarray(fact.cat_null[j]).any())]
+
+    def train_triple(w):
+        return star_join_triple(
+            fact.num_data, fact.cat_codes, w, keys=fact_keys,
+            dims=dim_arrays, fact_schema=fs, dim_schemas=dss,
+            num_keys=num_keys)
+
+    key = jax.random.PRNGKey(seed)
+    for _ in range(iters):
+        for col in cat_null_cols:
+            with timer.phase("cofactor"):
+                triple = train_triple(observed_weights(fact, "cat", col))
+            with timer.phase("train"):
+                params = lda_train(triple, joined, label=col,
+                                   shrinkage=lda_shrinkage)
+            with timer.phase("impute"):
+                x_num = jnp.concatenate([fact.num_data, dim_num_g], axis=0)
+                other = [j for j in range(fs.cat_cols) if j != col]
+                codes = jnp.concatenate(
+                    [fact.cat_codes[jnp.asarray(other)]
+                     if other else fact.cat_codes[:0], dim_cat_g], axis=0)
+                pred_idx = lda_predict(params, x_num,
+                                       codes if codes.shape[0] else None)
+                fact = fact.with_cat_col(col, pred_idx.astype(jnp.int32))
+        for col in num_null_cols:
+            with timer.phase("cofactor"):
+                triple = train_triple(observed_weights(fact, "num", col))
+            with timer.phase("train"):
+                params = linreg_train(triple, joined, label=col,
+                                      step_size=linreg_step,
+                                      lam=linreg_lambda,
+                                      max_iters=linreg_iters,
+                                      compute_variance=noise)
+            with timer.phase("impute"):
+                keep = [j for j in range(fs.num_cols) if j != col]
+                fact_num = (fact.num_data[jnp.asarray(keep)] if keep
+                            else fact.num_data[:0])
+                x_num = jnp.concatenate([fact_num, dim_num_g], axis=0)
+                codes = jnp.concatenate([fact.cat_codes, dim_cat_g], axis=0)
+                key, sub = jax.random.split(key)
+                pred = linreg_predict(
+                    params, x_num, codes if codes.shape[0] else None,
+                    add_noise=noise, key=sub)
+                fact = fact.with_num_col(col, pred)
+    return fact

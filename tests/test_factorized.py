@@ -85,3 +85,99 @@ def test_mice_factorized_beats_fact_only(star):
     r_fact, r_mean, r_fz = rmse(fact_only), rmse(filled), rmse(out)
     assert r_fz < 0.5 * r_mean, (r_fz, r_mean)
     assert r_fz < 0.5 * r_fact, (r_fz, r_fact)
+
+
+def test_star_join_triple_equals_materialized_two_dims():
+    """Two-dimension star join (different FKs — beyond what chained
+    multiply_triple can express): the star-factorized triple equals the
+    masked aggregate over the physically materialized join."""
+    from duckdb_imputation_tpu.ring.star import star_join_triple, star_schema
+    from duckdb_imputation_tpu.schema import FeatureSchema
+
+    rng = np.random.default_rng(21)
+    k1, k2, n = 7, 5, 500
+    d1_num = rng.normal(size=(1, k1)).astype(np.float32)
+    d1_cat = rng.integers(0, 3, size=(1, k1)).astype(np.int32)
+    d2_num = rng.normal(size=(2, k2)).astype(np.float32)
+    xf = rng.normal(size=(2, n)).astype(np.float32)
+    cf = rng.integers(0, 4, size=(1, n)).astype(np.int32)
+    ka = rng.integers(0, k1, n).astype(np.int32)
+    kb = rng.integers(0, k2, n).astype(np.int32)
+    w = rng.integers(0, 2, n).astype(np.float32)
+
+    fs = FeatureSchema(num_cols=2, cat_keys=(tuple(range(4)),))
+    d1s = FeatureSchema(num_cols=1, cat_keys=(tuple(range(3)),))
+    d2s = FeatureSchema(num_cols=2)
+
+    fused = star_join_triple(
+        xf, cf, w, keys=(ka, kb),
+        dims=((d1_num, d1_cat), (d2_num, None)),
+        fact_schema=fs, dim_schemas=(d1s, d2s))
+
+    # materialized: unique dim keys -> row-wise gathers
+    jn = np.concatenate([xf, d1_num[:, ka], d2_num[:, kb]], 0)
+    jc = np.concatenate([cf, d1_cat[:, ka]], 0)
+    js = star_schema(fs, [d1s, d2s])
+    mat = sum_to_triple(jn, jc, w, schema=js)
+    for lhs, rhs in zip(jax.tree.leaves(fused), jax.tree.leaves(mat)):
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-5, atol=1e-3)
+
+
+def test_star_join_single_dim_matches_factorized_join_sum():
+    """With one dimension the star path coincides with the two-table
+    fused factorized join (unique dim keys)."""
+    from duckdb_imputation_tpu.ring.star import star_join_triple
+    from duckdb_imputation_tpu.schema import FeatureSchema
+
+    rng = np.random.default_rng(4)
+    keys, n = 6, 300
+    dz = rng.normal(size=(1, keys)).astype(np.float32)
+    xf = rng.normal(size=(1, n)).astype(np.float32)
+    ka = rng.integers(0, keys, n).astype(np.int32)
+    fs = FeatureSchema(num_cols=1)
+    ds = FeatureSchema(num_cols=1)
+
+    fused = star_join_triple(xf, None, None, keys=(ka,), dims=((dz, None),),
+                             fact_schema=fs, dim_schemas=(ds,))
+    fg = sum_to_triple_grouped(xf, None, ka, schema=fs, num_groups=keys)
+    dg = sum_to_triple_grouped(dz, None, np.arange(keys), schema=ds,
+                               num_groups=keys)
+    two = factorized_join_sum(fg, dg)
+    for lhs, rhs in zip(jax.tree.leaves(fused), jax.tree.leaves(two)):
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
+                                   rtol=1e-5, atol=1e-3)
+
+
+def test_mice_star_two_dims():
+    """Star MICE with two dimension tables (different FKs): imputation of a
+    fact column driven by BOTH dimensions reconstructs it; fact-only and
+    single-dim MICE cannot."""
+    from duckdb_imputation_tpu.mice import run_mice_star
+
+    rng = np.random.default_rng(13)
+    k1, k2, n = 16, 12, 3000
+    z1 = (rng.normal(size=k1) * 2).astype(np.float32)
+    z2 = (rng.normal(size=k2) * 2).astype(np.float32)
+    dim1 = from_numpy(z1[:, None], rng.integers(0, 3, k1)[:, None])
+    dim2 = from_numpy(z2[:, None], None)
+    ka = rng.integers(0, k1, n)
+    kb = rng.integers(0, k2, n)
+    x2 = rng.normal(size=n).astype(np.float32)
+    x1 = (1.2 * z1[ka] - 0.8 * z2[kb] + 0.3 * x2).astype(np.float32)
+    nn = np.zeros((n, 2), bool)
+    miss = rng.choice(n, n // 4, replace=False)
+    nn[miss, 0] = True
+    fact = from_numpy(np.stack([x1, x2], 1),
+                      rng.integers(0, 2, n)[:, None], nn,
+                      np.zeros((n, 1), bool))
+
+    out = run_mice_star(fact, [ka, kb], [dim1, dim2], iters=2,
+                        linreg_iters=300, noise=False)
+    filled = init_fill(fact)
+
+    def rmse(t):
+        return float(np.sqrt(np.mean(
+            (np.asarray(t.num_data)[0, miss] - x1[miss]) ** 2)))
+    r_star, r_mean = rmse(out), rmse(filled)
+    assert r_star < 0.1 * r_mean, (r_star, r_mean)
