@@ -37,8 +37,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..schema import FeatureSchema
-from .sum import DEFAULT_ROW_CHUNK, masked_sigma
+from .sum import DEFAULT_ROW_CHUNK, _zt_block, masked_sigma
 from .triple import Triple, triple_from_sigma
+
+# key spaces up to this size aggregate via chunk-scanned one-hot matmuls on
+# the MXU (O(n·K) FLOPs but ~100x the throughput of scatter-adds); larger
+# key spaces fall back to segment-sums
+ONEHOT_KEY_LIMIT = 8192
 
 
 def _dim_features(x_num, codes, schema: FeatureSchema) -> jax.Array:
@@ -55,10 +60,50 @@ def _dim_features(x_num, codes, schema: FeatureSchema) -> jax.Array:
     return jnp.concatenate(parts, axis=1)
 
 
+def _chunked(n: int, row_chunk: int) -> tuple[int, int]:
+    m = min(row_chunk, max(n, 1))
+    nc = -(-n // m)
+    return nc, m
+
+
+def _scan_chunks(arrs, n: int, m: int, nc: int, init, step):
+    """Zero-pad row arrays to nc*m, reshape to [nc, …, m], lax.scan `step`."""
+    def pad(a):
+        p = nc * m - n
+        if p:
+            a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, p)])
+        return jnp.moveaxis(a.reshape(a.shape[:-1] + (nc, m)), -2, 0)
+    out, _ = jax.lax.scan(step, init, tuple(pad(a) for a in arrs))
+    return out
+
+
 def _grouped_sigma_row(x_num, codes, weights, keys, *, num_keys: int,
-                       schema: FeatureSchema) -> jax.Array:
+                       schema: FeatureSchema,
+                       row_chunk: int = DEFAULT_ROW_CHUNK) -> jax.Array:
     """R[k] = per-key weighted sums of the fact sigma row
-    [1 ‖ x_num ‖ onehot(cats)], f32[K, 1 + d + V] — three segment-sums."""
+    [1 ‖ x_num ‖ onehot(cats)], f32[K, 1 + d + V].
+
+    MXU path (K ≤ ONEHOT_KEY_LIMIT): R = Σ_chunks OH_k (diag(w) Z)ᵀ — the
+    one-hot key matrix is exact in bf16, the f32 feature operand runs at
+    HIGHEST precision, so accuracy matches the segment-sum path. Large key
+    spaces use combined-key segment-sums instead."""
+    if num_keys <= ONEHOT_KEY_LIMIT:
+        n = weights.shape[-1]
+        nc, m = _chunked(n, row_chunk)
+        p = schema.sigma_size
+        kidx = jnp.arange(num_keys, dtype=keys.dtype)[:, None]
+
+        def step(acc, chunk):
+            xn, cd, w, k = chunk
+            zt = _zt_block(xn, cd, schema) * w[None, :]       # [P, m]
+            oh = (k[None, :] == kidx).astype(jnp.float32)     # [K, m]
+            return acc + jax.lax.dot_general(
+                oh, zt, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST), None
+
+        return _scan_chunks((x_num, codes, weights, keys), n, m, nc,
+                            jnp.zeros((num_keys, p), jnp.float32), step)
+
     seg = functools.partial(jax.ops.segment_sum, num_segments=num_keys)
     n_k = seg(weights, keys)[:, None]                       # [K, 1]
     parts = [n_k]
@@ -75,11 +120,76 @@ def _grouped_sigma_row(x_num, codes, weights, keys, *, num_keys: int,
     return jnp.concatenate(parts, axis=1)
 
 
-def _cooccurrence(weights, ki, kj, num_i: int, num_j: int) -> jax.Array:
-    """C[k,l] = Σ w over rows with (ki, kj) = (k, l), f32[K_i, K_j]."""
+def _cooccurrence(weights, ki, kj, num_i: int, num_j: int,
+                  row_chunk: int = DEFAULT_ROW_CHUNK) -> jax.Array:
+    """C[k,l] = Σ w over rows with (ki, kj) = (k, l), f32[K_i, K_j].
+
+    MXU path: C = Σ_chunks OH_i diag(w) OH_jᵀ — both operands are binary
+    (exact in bf16) and the accumulation is f32, so the counts are EXACT
+    at single-pass bf16 speed."""
+    if num_i * num_j <= ONEHOT_KEY_LIMIT ** 2 and \
+            max(num_i, num_j) <= ONEHOT_KEY_LIMIT:
+        n = weights.shape[-1]
+        nc, m = _chunked(n, row_chunk)
+        ii = jnp.arange(num_i, dtype=ki.dtype)[:, None]
+        jj = jnp.arange(num_j, dtype=kj.dtype)[:, None]
+
+        def step(acc, chunk):
+            w, a, b = chunk
+            ohi = ((a[None, :] == ii).astype(jnp.bfloat16)
+                   * w[None, :].astype(jnp.bfloat16))
+            ohj = (b[None, :] == jj).astype(jnp.bfloat16)
+            return acc + jax.lax.dot_general(
+                ohi, ohj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32), None
+
+        return _scan_chunks((weights, ki, kj), n, m, nc,
+                            jnp.zeros((num_i, num_j), jnp.float32), step)
     flat = ki * num_j + kj
     return jax.ops.segment_sum(
         weights, flat, num_segments=num_i * num_j).reshape(num_i, num_j)
+
+
+def _star_aggregates(x_f, c_f, weights, keys, *, num_keys, schema,
+                     row_chunk: int = DEFAULT_ROW_CHUNK):
+    """All per-key aggregates of the star join in ONE chunk scan:
+    R_i = OH_i (diag(w) Z)ᵀ (HIGHEST precision — f32-exact features) and
+    C_ij = OH_i diag(w) OH_jᵀ (single-pass bf16 — EXACT for the binary
+    one-hots and 0/1 masks the MICE drivers pass; arbitrary weights round
+    to bf16). One-hot key matrices are built once per chunk and feed both."""
+    nd = len(num_keys)
+    n = weights.shape[-1]
+    nc, m = _chunked(n, row_chunk)
+    kidx = [jnp.arange(num_keys[i], dtype=jnp.int32)[:, None]
+            for i in range(nd)]
+    p = schema.sigma_size
+
+    def step(carry, chunk):
+        rs, cs = carry
+        xn, cd, w, ks = chunk
+        zt = _zt_block(xn, cd, schema) * w[None, :]           # [P, m]
+        ohs = [(ks[i][None, :] == kidx[i]).astype(jnp.float32)
+               for i in range(nd)]                            # [K_i, m]
+        rs = tuple(
+            r + jax.lax.dot_general(
+                oh, zt, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            for r, oh in zip(rs, ohs))
+        new_cs = {}
+        for (i, j), c in cs.items():
+            wi = (ohs[i] * w[None, :]).astype(jnp.bfloat16)
+            new_cs[(i, j)] = c + jax.lax.dot_general(
+                wi, ohs[j].astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        return (rs, new_cs), None
+
+    init = (tuple(jnp.zeros((num_keys[i], p), jnp.float32)
+                  for i in range(nd)),
+            {(i, j): jnp.zeros((num_keys[i], num_keys[j]), jnp.float32)
+             for i in range(nd) for j in range(i + 1, nd)})
+    (rs, cs) = _scan_chunks((x_f, c_f, weights, keys), n, m, nc, init, step)
+    return list(rs), cs
 
 
 def star_schema(fact_schema: FeatureSchema,
@@ -111,9 +221,21 @@ def star_join_sigma(x_f, c_f, weights, keys, dim_num, dim_codes, *,
                       row_chunk=row_chunk)                   # [Pf, Pf]
     E = [_dim_features(dim_num[i], dim_codes[i], dim_schemas[i])
          for i in range(nd)]                                 # [K_i, m_i]
-    R = [_grouped_sigma_row(x_f, c_f, weights, keys[i],
-                            num_keys=num_keys[i], schema=fact_schema)
-         for i in range(nd)]                                 # [K_i, Pf]
+    if max(num_keys) <= ONEHOT_KEY_LIMIT:
+        # one fused scan: each dimension's one-hot built once per chunk,
+        # all R_i and C_ij accumulated on the MXU together
+        R, C = _star_aggregates(x_f, c_f, weights, keys,
+                                num_keys=num_keys, schema=fact_schema,
+                                row_chunk=row_chunk)
+    else:
+        R = [_grouped_sigma_row(x_f, c_f, weights, keys[i],
+                                num_keys=num_keys[i], schema=fact_schema,
+                                row_chunk=row_chunk)
+             for i in range(nd)]                             # [K_i, Pf]
+        C = {(i, j): _cooccurrence(weights, keys[i], keys[j],
+                                   num_keys[i], num_keys[j],
+                                   row_chunk=row_chunk)
+             for i in range(nd) for j in range(i + 1, nd)}
 
     hp = jax.lax.Precision.HIGHEST
     mm = functools.partial(jnp.matmul, precision=hp)
@@ -126,13 +248,9 @@ def star_join_sigma(x_f, c_f, weights, keys, dim_num, dim_codes, *,
             if j == i:
                 blocks.append(mm(E[i].T * R[i][:, 0][None, :], E[i]))
             elif j > i:
-                c = _cooccurrence(weights, keys[i], keys[j],
-                                  num_keys[i], num_keys[j])
-                blocks.append(mm(mm(E[i].T, c), E[j]))
+                blocks.append(mm(mm(E[i].T, C[(i, j)]), E[j]))
             else:
-                c = _cooccurrence(weights, keys[j], keys[i],
-                                  num_keys[j], num_keys[i])
-                blocks.append(mm(mm(E[i].T, c.T), E[j]))
+                blocks.append(mm(mm(E[i].T, C[(j, i)].T), E[j]))
         rows.append(jnp.concatenate(blocks, axis=1))
     big = jnp.concatenate(rows, axis=0)
 
