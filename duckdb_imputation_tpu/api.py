@@ -165,6 +165,12 @@ def multiply_triple(a: Cofactor, b: Cofactor) -> Cofactor:
                     a.schema.concat(b.schema))
 
 
+# Jitted once at module level so repeated factorized_sum calls hit the
+# compilation cache instead of retracing per invocation.
+_fused_join_sum = jax.jit(ring_triple.factorized_join_sum)
+_fused_join_sum_nb = jax.jit(ring_triple.factorized_join_sum_nb)
+
+
 def factorized_sum(a: Cofactor, b: Cofactor) -> Cofactor:
     """Fused `sum_triple(multiply_triple(A, B))` over per-join-key triples —
     the factorized-join aggregation of README.md:163-174 (and the intent of
@@ -176,16 +182,16 @@ def factorized_sum(a: Cofactor, b: Cofactor) -> Cofactor:
     if not (a.batched and b.batched):
         raise ValueError("factorized_sum needs per-key (batched) cofactors; "
                          "use sum_to_triple(..., group_by=join_key)")
-    fused = jax.jit(ring_triple.factorized_join_sum)
-    return Cofactor(fused(a.triple, b.triple), a.schema.concat(b.schema))
+    return Cofactor(_fused_join_sum(a.triple, b.triple),
+                    a.schema.concat(b.schema))
 
 
 def factorized_sum_nb(a: NBValue, b: NBValue) -> NBValue:
     """NB-aggregate factorized join-sum (see factorized_sum)."""
     if not (a.batched and b.batched):
         raise ValueError("factorized_sum_nb needs per-key (batched) aggs")
-    fused = jax.jit(ring_triple.factorized_join_sum_nb)
-    return NBValue(fused(a.agg, b.agg), a.schema.concat(b.schema))
+    return NBValue(_fused_join_sum_nb(a.agg, b.agg),
+                   a.schema.concat(b.schema))
 
 
 def subtract_triple(a: Cofactor, b: Cofactor) -> Cofactor:

@@ -93,12 +93,16 @@ def _lda_device(sigma: jax.Array, schema: FeatureSchema, label: int,
     # class sums from the label block rows (the factorized GROUP BY label)
     sums = sigma[lab_lo:lab_hi][:, jnp.asarray(keep)]       # [C, P']
     counts = sums[:, 0]                                      # [C]
+    # zero-count class guard: clamp the divisor (zero mean / no scatter
+    # contribution) and keep log(0) = -inf so argmax never predicts the
+    # class — matches host lda_train (see models/lda.py)
+    cnt = jnp.maximum(counts, 1.0)
 
     m = len(keep) - 1
     cov = sig[1:, 1:]
-    mean_c = sums[:, 1:] / counts[:, None]                   # [C, m]
-    cov = cov - jnp.einsum("ci,cj->ij", sums[:, 1:] / jnp.sqrt(counts)[:, None],
-                           sums[:, 1:] / jnp.sqrt(counts)[:, None])
+    mean_c = sums[:, 1:] / cnt[:, None]                      # [C, m]
+    cov = cov - jnp.einsum("ci,cj->ij", sums[:, 1:] / jnp.sqrt(cnt)[:, None],
+                           sums[:, 1:] / jnp.sqrt(cnt)[:, None])
     mu = jnp.trace(cov) / m
     cov = cov * (1.0 - shrinkage) + shrinkage * mu * jnp.eye(m)
     cov = cov / n_total

@@ -46,6 +46,20 @@ def _dim_row_of_key(dim_key: np.ndarray, num_keys: int) -> np.ndarray:
     return rows
 
 
+def _fact_gather(row_of_key: np.ndarray, fact_key: np.ndarray) -> np.ndarray:
+    """Dimension row index per fact row; a fact FK with no matching dim row
+    (row_of_key == -1) would silently wrap the gather to the LAST dim row,
+    so dangling FKs are a hard error (an inner join would drop them; here
+    the join is assumed lossless FK -> PK)."""
+    g = row_of_key[fact_key]
+    if (g < 0).any():
+        bad = np.unique(fact_key[g < 0])
+        raise ValueError(
+            f"dangling foreign keys with no matching dimension row: "
+            f"{bad[:10].tolist()}{'...' if bad.size > 10 else ''}")
+    return g
+
+
 def run_mice_factorized(fact: Table, fact_key, dim: Table, dim_key=None,
                         num_null_cols=None, cat_null_cols=None,
                         iters: int = 5, *, lda_shrinkage: float = 0.001,
@@ -83,7 +97,7 @@ def run_mice_factorized(fact: Table, fact_key, dim: Table, dim_key=None,
             dim.num_data, dim.cat_codes, dim_key, schema=ds,
             num_groups=num_keys)
         # dimension attributes of each fact row (for prediction)
-        gather = jnp.asarray(row_of_key[fact_key])
+        gather = jnp.asarray(_fact_gather(row_of_key, fact_key))
         dim_num_g = dim.num_data[:, gather] if ds.num_cols else \
             jnp.zeros((0, fact.n_rows), jnp.float32)
         dim_cat_g = dim.cat_codes[:, gather] if ds.cat_cols else \
@@ -189,7 +203,7 @@ def run_mice_star(fact: Table, fact_keys, dims, dim_keys=None,
             codes = (d.cat_codes[:, order] if dss[i].cat_cols
                      else jnp.zeros((0, num_keys[i]), jnp.int32))
             dim_arrays.append((xnum, codes))
-            g = jnp.asarray(row_of_key[fact_keys[i]])
+            g = jnp.asarray(_fact_gather(row_of_key, fact_keys[i]))
             dim_num_g.append(d.num_data[:, g] if dss[i].num_cols
                              else jnp.zeros((0, fact.n_rows), jnp.float32))
             dim_cat_g.append(d.cat_codes[:, g] if dss[i].cat_cols

@@ -150,15 +150,16 @@ def qda_train_device(sigmas: jax.Array, tot: jax.Array, drop_d: int):
     the 1e-9 cutoff, pseudo-determinant. drop_d = 1 (the constant row)."""
     def one(sig):
         n_c = sig[0, 0]
+        n_safe = jnp.maximum(n_c, 1.0)  # zero-count class guard (see qda.py)
         s = sig[1:, 1:]
         sv = sig[0, 1:]
-        cov = (s - jnp.outer(sv, sv) / n_c) / n_c
+        cov = (s - jnp.outer(sv, sv) / n_safe) / n_safe
         u, svals, vt = jnp.linalg.svd(cov)
         inv_s = jnp.where(svals > 1e-9, 1.0 / jnp.where(svals > 1e-9,
                                                         svals, 1.0), svals)
         inva = (vt.T * inv_s) @ u.T
         logdet = jnp.sum(jnp.where(svals > 1e-9, jnp.log(svals), 0.0))
-        mu = sv / n_c
+        mu = sv / n_safe
         lin = inva @ mu
         intercept = (-0.5 * mu @ lin - 0.5 * logdet
                      + jnp.log(n_c / tot))
@@ -171,7 +172,8 @@ def nb_train_device(n, lin, quad_diag, lin_cat):
     """Device NB from batched NBAgg arrays ([C], [C,d], [C,d], [C,V]):
     returns (priors [C], mean [C,d], var [C,d], freqs [C,V])."""
     tot = jnp.sum(n)
-    mean = lin / n[:, None]
-    var = quad_diag / n[:, None] - mean * mean
-    freqs = lin_cat / n[:, None]
+    n_safe = jnp.maximum(n, 1.0)[:, None]  # zero-count class guard
+    mean = lin / n_safe
+    var = quad_diag / n_safe - mean * mean
+    freqs = lin_cat / n_safe
     return n / tot, mean, var, freqs

@@ -58,9 +58,16 @@ def lda_train(t: Triple, schema: FeatureSchema, label: int,
     m = p - 1
     cov = sigma[1:, 1:].copy()
     class_mean = np.zeros((n_classes, m))
+    # Zero-count class guard: with the dense schema vocab a class can be
+    # absent under the observed-mask (the reference builds its class list
+    # from the triple itself, so an absent class simply doesn't exist there,
+    # lda.cpp:58-144). Clamp the count for the mean/scatter (zero class mean,
+    # no covariance contribution) and give the class a -inf intercept via
+    # log(0) so argmax can never predict it — the same observable behavior.
+    cnt = np.maximum(sums[:, 0], 1.0)
     for c in range(n_classes):
-        cov -= np.outer(sums[c, 1:], sums[c, 1:]) / sums[c, 0]
-        class_mean[c] = sums[c, 1:] / sums[c, 0]
+        cov -= np.outer(sums[c, 1:], sums[c, 1:]) / cnt[c]
+        class_mean[c] = sums[c, 1:] / cnt[c]
 
     mu = np.trace(cov) / m
     cov *= (1.0 - shrinkage)
@@ -69,8 +76,9 @@ def lda_train(t: Triple, schema: FeatureSchema, label: int,
 
     # dgelsd least-squares: cov · W = Mᵀ  (lda.cpp:294-297)
     w, *_ = np.linalg.lstsq(cov, class_mean.T, rcond=-1)   # [m, C]
-    intercept = (-0.5 * np.einsum("cm,mc->c", class_mean, w)
-                 + np.log(sums[:, 0] / n_total))
+    with np.errstate(divide="ignore"):
+        log_prior = np.log(sums[:, 0] / n_total)
+    intercept = (-0.5 * np.einsum("cm,mc->c", class_mean, w) + log_prior)
 
     if normalize:
         w = w / std[1:, None]

@@ -59,13 +59,17 @@ def nb_train(aggs: NBAgg, schema: FeatureSchema, labels) -> np.ndarray:
         out.append(0.0)
     out.extend(float(x) for x in labels)
     out.extend(float(n[c] / tot) for c in range(n_classes))
+    # Zero-count class guard: prior = 0 already makes the class
+    # unpredictable (nb_impute multiplies probabilities, naive_bayes.cpp:
+    # 215-251); clamp the divisor so mean/var/freqs are 0 instead of NaN.
+    n_safe = np.maximum(n, 1.0)
     for c in range(n_classes):
         for j in range(schema.num_cols):
-            mean = lin[c, j] / n[c]
-            var = quad[c, j] / n[c] - mean * mean
+            mean = lin[c, j] / n_safe[c]
+            var = quad[c, j] / n_safe[c] - mean * mean
             out.append(float(mean))
             out.append(float(var))
-        out.extend(float(x / n[c]) for x in lin_cat[c])
+        out.extend(float(x / n_safe[c]) for x in lin_cat[c])
     return np.asarray(out, np.float32)
 
 

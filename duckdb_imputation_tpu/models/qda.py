@@ -91,9 +91,14 @@ def qda_train(triples: Triple, schema: FeatureSchema, labels,
     blocks: list[float] = []
     for s in sigmas:
         n_c = s[0, 0]
+        # Zero-count class guard: clamp the divisor (mu = 0, cov = 0 ⇒
+        # inva = 0) and let log(N_c/N) = -inf make the class unpredictable —
+        # the reference builds its class list from the GROUP BY result, so
+        # an empty class never reaches qda_train (qda.cpp:27-47).
+        n_c_safe = max(n_c, 1.0)
         sum_vec = s[0, 1:].copy()
-        cov = (s[1:, 1:] - np.outer(sum_vec, sum_vec) / n_c) / n_c
-        mu = sum_vec / n_c
+        cov = (s[1:, 1:] - np.outer(sum_vec, sum_vec) / n_c_safe) / n_c_safe
+        mu = sum_vec / n_c_safe
 
         u, sv, vt = np.linalg.svd(cov)
         ss = np.where(sv > 1e-9, 1.0 / np.where(sv > 1e-9, sv, 1.0), sv)
@@ -118,7 +123,7 @@ def qda_train(triples: Triple, schema: FeatureSchema, labels,
         else:
             blocks.extend(float(x) for x in lin)
         intercept = (-0.5 * float(mu @ lin) - 0.5 * float(np.log(det))
-                     + math.log(n_c / tot))
+                     + (math.log(n_c / tot) if n_c > 0 else -math.inf))
         blocks.append(float(intercept))
     out.extend(blocks)
     if normalize:

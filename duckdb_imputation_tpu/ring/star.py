@@ -289,6 +289,14 @@ def star_join_triple(x_f=None, c_f=None, weights=None, keys=(), dims=(), *,
     keys: per dimension, i32[n] FK codes into [0, K_i).
     dims: per dimension, (x_num f32[d_i, K_i], codes i32[c_i, K_i]) ordered
       by key (row k <-> key k).
+    weights: f32[n] row weights. PRECISION: for binary weights (0/1 masks —
+      what every MICE driver passes) all co-occurrence counts C_ij are EXACT
+      (binary one-hots and masks are bf16-exact; accumulation is f32). A
+      NON-binary weight is rounded to bf16 inside the ≤ONEHOT_KEY_LIMIT MXU
+      co-occurrence path, while the >limit fallback uses exact f32
+      segment-sums — path-dependent precision. Pre-scale or use the
+      segment-sum path (num_keys > ONEHOT_KEY_LIMIT) if bf16 weight
+      rounding matters.
     Returns the triple over `star_schema(fact_schema, dim_schemas)`.
     """
     dim_schemas = tuple(dim_schemas)

@@ -181,3 +181,28 @@ def test_mice_star_two_dims():
             (np.asarray(t.num_data)[0, miss] - x1[miss]) ** 2)))
     r_star, r_mean = rmse(out), rmse(filled)
     assert r_star < 0.1 * r_mean, (r_star, r_mean)
+
+
+def test_dangling_fk_raises(star):
+    """A fact FK with no matching dimension row must be a hard error, not a
+    silent gather of the wrong dim row (the -1 in row_of_key would wrap to
+    the LAST row)."""
+    fact, fk, dim, _, _ = star
+    # dim_key skips key 0 entirely -> every fact row with fk==0 dangles
+    dim_key = np.arange(dim.n_rows, dtype=np.int64) + 1
+    bad_fk = fk.copy()
+    bad_fk[0] = 0
+    with pytest.raises(ValueError, match="dangling"):
+        run_mice_factorized(fact, bad_fk, dim, dim_key=dim_key, iters=1,
+                            linreg_iters=50, noise=False)
+
+
+def test_dangling_fk_raises_star(star):
+    from duckdb_imputation_tpu.mice import run_mice_star
+    fact, fk, dim, _, _ = star
+    dim_key = np.arange(dim.n_rows, dtype=np.int64) + 1
+    bad_fk = fk.copy()
+    bad_fk[0] = 0
+    with pytest.raises(ValueError, match="dangling"):
+        run_mice_star(fact, [bad_fk], [dim], dim_keys=[dim_key], iters=1,
+                      linreg_iters=50, noise=False)

@@ -150,3 +150,105 @@ def test_api_zero_categorical_grid(ring_test_table):
     assert d["N"] == 5
     assert d["lin_agg"] == [15.0, 17.0, 22.0]
     assert d["quad_cat"] == []
+
+
+def test_qda_categorical_normalize(iris_cat):
+    """normalize=True with categorical features exercises the full
+    triple-loop sigma standardization (qda.cpp:148-168) including the
+    one-hot block — previously only the numeric normalize path was
+    covered."""
+    xtr_n, xte_n, xtr_c, xte_c, ytr, yte = iris_cat
+    schema = FeatureSchema.infer(xtr_n, xtr_c)
+    codes = schema.encode(xtr_c).T
+    triples = sum_to_triple_grouped(xtr_n.T, codes, ytr, schema=schema,
+                                    num_groups=3)
+    drop_schema = schema.drop_first()
+    params = qda_train(triples, schema, labels=[0, 1, 2], normalize=True)
+    pred = np.asarray(qda_predict(params, xte_n.T,
+                                  drop_schema.encode(xte_c).T,
+                                  normalize=True))
+    acc = accuracy_score(yte, pred)
+    base = np.asarray(qda_predict(
+        qda_train(triples, schema, labels=[0, 1, 2]),
+        xte_n.T, drop_schema.encode(xte_c).T))
+    acc_base = accuracy_score(yte, base)
+    assert acc > 0.85, acc
+    # standardization must not change the model family's quality class
+    assert abs(acc - acc_base) < 0.1, (acc, acc_base)
+
+
+# ---------------------------------------------------------------------------
+# zero-count classes: a mask can remove a schema class entirely
+# ---------------------------------------------------------------------------
+
+def _three_class_data(empty_class=2, n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 3, n).astype(np.int64)
+    x = (y[:, None] * 1.5 + rng.normal(size=(n, 2))).astype(np.float32)
+    w = (y != empty_class).astype(np.float32)  # mask removes class 2
+    return x, y, w
+
+
+def test_lda_train_empty_class_no_nan():
+    """A class absent under the observed-mask must not poison the solve
+    with NaN (the reference never sees such a class — its class list comes
+    from the triple, lda.cpp:58-144); it must simply never be predicted."""
+    from duckdb_imputation_tpu.models import lda_predict, lda_train
+    from duckdb_imputation_tpu.ring import sum_to_triple
+
+    x, y, w = _three_class_data()
+    schema = FeatureSchema.infer(x, y[:, None])
+    t = sum_to_triple(x.T, schema.encode(y[:, None]).T, w, schema=schema)
+    params = lda_train(t, schema, label=0, shrinkage=0.001)
+    coef = params[~np.isinf(params)]
+    assert np.isfinite(coef).all()
+    pred = np.asarray(lda_predict(params, x.T))
+    assert np.isfinite(pred).all()
+    assert not (pred == 2).any(), "empty class must never be predicted"
+    assert (pred[y == 0] == 0).mean() > 0.8
+
+
+def test_qda_nb_train_empty_class_no_nan():
+    from duckdb_imputation_tpu.models import (nb_predict, nb_train,
+                                              qda_predict, qda_train)
+    from duckdb_imputation_tpu.ring import (sum_to_nb_agg_grouped,
+                                            sum_to_triple_grouped)
+
+    x, y, w = _three_class_data()
+    schema = FeatureSchema.infer(x, None)
+    triples = sum_to_triple_grouped(x.T, None, y, schema=schema,
+                                    num_groups=3, weights=w)
+    params = qda_train(triples, schema, labels=[0, 1, 2])
+    assert not np.isnan(params).any()
+    pred = np.asarray(qda_predict(params, x.T))
+    assert not (pred == 2).any()
+
+    aggs = sum_to_nb_agg_grouped(x.T, None, y, schema=schema, num_groups=3,
+                                 weights=w)
+    nbp = nb_train(aggs, schema, labels=[0, 1, 2])
+    assert not np.isnan(nbp).any()
+    prednb = np.asarray(nb_predict(nbp, x.T))
+    assert not (prednb == 2).any()
+
+
+def test_mice_device_empty_class_no_nan():
+    """Fused device MICE where the null-mask removes one label class from
+    the observed rows: the round must stay NaN-free (device_round.py
+    _lda_device zero-count guard)."""
+    from duckdb_imputation_tpu.mice.device_round import run_mice_device
+    from duckdb_imputation_tpu.table import from_numpy
+
+    rng = np.random.default_rng(7)
+    n = 500
+    y = rng.integers(0, 3, n).astype(np.int64)
+    x = (y[:, None] * 2.0 + rng.normal(size=(n, 2))).astype(np.float32)
+    cat_null = np.zeros((n, 1), bool)
+    cat_null[y == 2] = True          # every class-2 row is null -> class 2
+    cat_null[rng.choice(np.where(y != 2)[0], 40, replace=False)] = True
+    t = from_numpy(x, y[:, None], np.zeros((n, 2), bool), cat_null)
+    out = run_mice_device(t, iters=2, gd_iters=100)
+    assert np.isfinite(np.asarray(out.num_data)).all()
+    codes = np.asarray(out.cat_codes)
+    assert ((codes >= 0) & (codes < 3)).all()
+    # imputed codes can only be observed classes (0/1)
+    assert not (codes[0, cat_null[:, 0]] == 2).any()
