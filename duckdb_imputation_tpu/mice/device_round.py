@@ -30,7 +30,7 @@ import numpy as np
 
 from ..schema import FeatureSchema
 from ..ring.sum import _zt_block, masked_sigma
-from ..models.device import linreg_train_device
+from ..models.device import linreg_solve_device, linreg_train_device
 from ..table.table import Table
 
 
@@ -117,13 +117,19 @@ def _round_columns(x_num, codes, num_null, cat_null, *,
                    num_cols_to_impute: tuple[int, ...],
                    cat_cols_to_impute: tuple[int, ...],
                    agg, gd_iters: int, lda_shrinkage: float,
-                   noise_key_for):
+                   noise_key_for, trainer: str = "solve"):
     """One MICE round's per-column body, shared by the single-device and
     sharded loops. `agg(x, c, null_row) -> sigma` abstracts how the
     aggregate is produced (device-local kernel vs psum-combined shard_map);
     `noise_key_for(col) -> key | None` abstracts the noise keying (None ⇒
     deterministic prediction). Categorical columns first — the reference's
-    ordering (imputation_base.cpp:18-87)."""
+    ordering (imputation_base.cpp:18-87).
+
+    trainer: 'solve' (default) — ONE lstsq on the P×P sigma per column;
+    'gd' — the reference's sequential GD (regression.cpp:157-238) as a
+    lax.while_loop, kept for iteration-parity studies. On TPU the GD path
+    is pure dispatch latency (hundreds of dependent tiny matvecs), so the
+    direct solve is the production trainer."""
     for col in cat_cols_to_impute:
         sigma = agg(x_num, codes, cat_null[col])
         w, intercept, keep = _lda_device(sigma, schema, col, lda_shrinkage)
@@ -140,8 +146,11 @@ def _round_columns(x_num, codes, num_null, cat_null, *,
 
     for col in num_cols_to_impute:
         sigma = agg(x_num, codes, num_null[col])
-        coeff = linreg_train_device(sigma, label=col + 1,
-                                    max_iters=gd_iters)
+        if trainer == "solve":
+            coeff = linreg_solve_device(sigma, label=col + 1)
+        else:
+            coeff = linreg_train_device(sigma, label=col + 1,
+                                        max_iters=gd_iters)
         theta = coeff * (1.0 - jax.nn.one_hot(col + 1, coeff.shape[0],
                                               dtype=coeff.dtype))
         nkey = noise_key_for(col)
@@ -182,13 +191,14 @@ def _make_agg(kernel: str, schema: FeatureSchema):
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "gd_iters", "lda_shrinkage", "noise", "kernel"))
+                     "gd_iters", "lda_shrinkage", "noise", "kernel", "trainer"))
 def mice_round_device(x_num, codes, num_null, cat_null, key, *,
                       schema: FeatureSchema,
                       num_cols_to_impute: tuple[int, ...],
                       cat_cols_to_impute: tuple[int, ...],
                       gd_iters: int = 500, lda_shrinkage: float = 0.001,
-                      noise: bool = False, kernel: str = "xla"):
+                      noise: bool = False, kernel: str = "xla",
+                      trainer: str = "solve"):
     """One MICE round, entirely on device. Arrays are features-first.
     Returns (x_num, codes, key). kernel='pallas_fast' uses the
     split-precision MXU kernel (TPU; masks here are binary)."""
@@ -199,14 +209,15 @@ def mice_round_device(x_num, codes, num_null, cat_null, key, *,
         num_cols_to_impute=num_cols_to_impute,
         cat_cols_to_impute=cat_cols_to_impute,
         agg=_make_agg(kernel, schema), gd_iters=gd_iters,
-        lda_shrinkage=lda_shrinkage, noise_key_for=noise_key_for)
+        lda_shrinkage=lda_shrinkage, noise_key_for=noise_key_for,
+        trainer=trainer)
     return x_num, codes, jax.random.fold_in(key, 2 ** 20)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "gd_iters", "lda_shrinkage", "noise", "kernel"),
+                     "gd_iters", "lda_shrinkage", "noise", "kernel", "trainer"),
     donate_argnames=("x_num", "codes"))
 def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
                      schema: FeatureSchema,
@@ -214,7 +225,7 @@ def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
                      cat_cols_to_impute: tuple[int, ...],
                      iters, gd_iters: int = 500,
                      lda_shrinkage: float = 0.001, noise: bool = False,
-                     kernel: str = "xla"):
+                     kernel: str = "xla", trainer: str = "solve"):
     """The WHOLE MICE loop in one dispatch: lax.fori_loop over rounds.
     `iters` may be a traced scalar — one compile serves any round count."""
     def body(_, carry):
@@ -224,14 +235,15 @@ def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
             num_cols_to_impute=num_cols_to_impute,
             cat_cols_to_impute=cat_cols_to_impute,
             gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
-            kernel=kernel)
+            kernel=kernel, trainer=trainer)
     return jax.lax.fori_loop(0, iters, body, (x_num, codes, key))
 
 
 def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
                     iters: int = 5, *, gd_iters: int = 500,
                     lda_shrinkage: float = 0.001, noise: bool = False,
-                    seed: int = 0, kernel: str = "auto") -> Table:
+                    seed: int = 0, kernel: str = "auto",
+                    trainer: str = "solve") -> Table:
     """Host wrapper: mean/mode init, then the single-dispatch device loop."""
     import dataclasses
 
@@ -257,14 +269,14 @@ def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
         num_cols_to_impute=tuple(num_null_cols),
         cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
         gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
-        kernel=kernel)
+        kernel=kernel, trainer=trainer)
     return dataclasses.replace(t, num_data=x, cat_codes=c)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "gd_iters", "lda_shrinkage", "noise", "kernel"),
+                     "gd_iters", "lda_shrinkage", "noise", "kernel", "trainer"),
     donate_argnames=("x_num", "codes"))
 def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
                            num_dirty_idx, cat_dirty_idx, *,
@@ -273,7 +285,8 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
                            cat_cols_to_impute: tuple[int, ...],
                            iters, gd_iters: int = 500,
                            lda_shrinkage: float = 0.001,
-                           noise: bool = False, kernel: str = "xla"):
+                           noise: bool = False, kernel: str = "xla",
+                           trainer: str = "solve"):
     """The low-missing delta strategy (imputation_low.cpp) fused on-device:
     ONE full aggregation up front, then per column per round only the
     column's dirty rows are re-aggregated:
@@ -318,8 +331,11 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
             idx, valid = num_dirty_idx[ci]
             delta = delta_sigma(x, c, idx, valid)
             train = full - delta
-            coeff = linreg_train_device(train, label=col + 1,
-                                        max_iters=gd_iters)
+            if trainer == "solve":
+                coeff = linreg_solve_device(train, label=col + 1)
+            else:
+                coeff = linreg_train_device(train, label=col + 1,
+                                            max_iters=gd_iters)
             zt = _zt_block(x[:, idx], c[:, idx], schema)
             theta = coeff * (1.0 - jax.nn.one_hot(
                 col + 1, coeff.shape[0], dtype=coeff.dtype))
@@ -344,7 +360,8 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
 def run_mice_device_delta(t: Table, num_null_cols=None, cat_null_cols=None,
                           iters: int = 5, *, gd_iters: int = 500,
                           lda_shrinkage: float = 0.001, noise: bool = False,
-                          seed: int = 0, kernel: str = "auto") -> Table:
+                          seed: int = 0, kernel: str = "auto",
+                          trainer: str = "solve") -> Table:
     """Host wrapper for the fused delta loop: builds the static dirty-row
     gathers (pow2-padded) once, then a single dispatch runs every round."""
     import dataclasses
@@ -383,5 +400,5 @@ def run_mice_device_delta(t: Table, num_null_cols=None, cat_null_cols=None,
         schema=schema, num_cols_to_impute=tuple(num_null_cols),
         cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
         gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
-        kernel=kernel)
+        kernel=kernel, trainer=trainer)
     return dataclasses.replace(t, num_data=x, cat_codes=c)

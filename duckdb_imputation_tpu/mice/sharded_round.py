@@ -49,14 +49,14 @@ from .device_round import _round_columns
     jax.jit,
     static_argnames=("schema", "mesh", "num_cols_to_impute",
                      "cat_cols_to_impute", "gd_iters", "lda_shrinkage",
-                     "noise", "axis"))
+                     "noise", "axis", "trainer"))
 def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
                       schema: FeatureSchema, mesh,
                       num_cols_to_impute: tuple[int, ...],
                       cat_cols_to_impute: tuple[int, ...],
                       iters, gd_iters: int = 500,
                       lda_shrinkage: float = 0.001, noise: bool = False,
-                      axis: str = "data"):
+                      axis: str = "data", trainer: str = "solve"):
     """The whole sharded MICE loop in one dispatch. Arrays features-first,
     row axis sharded over `axis`; `valid` is f32[n] 1/0 (zero-weight row
     padding). `iters` may be traced."""
@@ -87,7 +87,7 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
                 num_cols_to_impute=num_cols_to_impute,
                 cat_cols_to_impute=cat_cols_to_impute, agg=agg,
                 gd_iters=gd_iters, lda_shrinkage=lda_shrinkage,
-                noise_key_for=noise_key_for)
+                noise_key_for=noise_key_for, trainer=trainer)
 
         x_out, c_out = jax.lax.fori_loop(0, iters, one_round, (x, c))
         return x_out, c_out
@@ -98,7 +98,8 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
 def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
                      iters: int = 5, *, mesh=None, gd_iters: int = 500,
                      lda_shrinkage: float = 0.001, noise: bool = False,
-                     seed: int = 0, axis: str = "data") -> Table:
+                     seed: int = 0, axis: str = "data",
+                     trainer: str = "solve") -> Table:
     """Host wrapper: mean/mode init, zero-weight row padding to the mesh
     size, sharded placement, one dispatch, unpad."""
     from ..parallel.mesh import make_mesh
@@ -140,7 +141,7 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
         mesh=mesh, num_cols_to_impute=tuple(num_null_cols),
         cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
         gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
-        axis=axis)
+        axis=axis, trainer=trainer)
     # drop the pad rows ON DEVICE — no host round trip of the full table
     if pad:
         x_out = x_out[:, :n]

@@ -112,6 +112,34 @@ def linreg_train_device(sigma: jax.Array, *, label: int,
     return final.coeff
 
 
+@functools.partial(jax.jit, static_argnames=("label",))
+def linreg_solve_device(sigma: jax.Array, *, label: int,
+                        lam: float = 0.0) -> jax.Array:
+    """Direct least-squares trainer: the normal equations of the Gram
+    objective solved in ONE SVD-backed lstsq instead of the reference's
+    200+ sequential GD iterations (regression.cpp:157-238 — pure dispatch
+    latency on TPU: each GD step is a tiny dependent matvec).
+
+    minimize θᵀΣθ/N + λ(‖θ₁:‖²−1) s.t. θ[label] = −1  ⇒
+        (Σ_keep/N + λ·diag(0,1,…)) w = Σ[keep, label]/N.
+
+    lstsq (min-norm) handles the EXACT singularity of full one-hot blocks +
+    intercept (the collinearity GD never excites). Same return contract as
+    linreg_train_device: coeff f32[P] with coeff[label] = −1. GD remains
+    available (trainer='gd') for iteration-exact reference parity."""
+    p = sigma.shape[0]
+    keep = [i for i in range(p) if i != label]
+    n = jnp.maximum(sigma[0, 0], 1.0)
+    a = sigma[jnp.ix_(jnp.asarray(keep), jnp.asarray(keep))] / n
+    if lam:
+        d = jnp.ones((p - 1,), jnp.float32).at[0].set(0.0)
+        a = a + lam * jnp.diag(d)
+    b = sigma[jnp.asarray(keep), label] / n
+    w = jnp.linalg.lstsq(a, b)[0]
+    coeff = jnp.zeros((p,), jnp.float32).at[jnp.asarray(keep)].set(w)
+    return coeff.at[label].set(-1.0)
+
+
 @jax.jit
 def linreg_predict_device(coeff: jax.Array, zt: jax.Array,
                           label: int | jax.Array) -> jax.Array:

@@ -175,3 +175,25 @@ def test_mice_device_delta_matches_full(iris_mcar):
     agree = (np.asarray(delta.cat_codes)
              == np.asarray(full.cat_codes)).mean()
     assert agree > 0.95, agree
+
+
+def test_mice_device_solve_vs_gd_trainer(iris_mcar):
+    """trainer='solve' (one lstsq on the normal equations — the production
+    device trainer) lands on the same model as trainer='gd' (the
+    reference's iterated GD, regression.cpp:157-238): imputations agree to
+    GD's own convergence tolerance."""
+    from duckdb_imputation_tpu.mice.device_round import run_mice_device
+    num, cat, num_null, cat_null = iris_mcar
+    solve = run_mice_device(_make_table(iris_mcar), iters=2,
+                            trainer="solve")
+    gd = run_mice_device(_make_table(iris_mcar), iters=2, gd_iters=500,
+                         trainer="gd")
+    for j in (0, 3):
+        mask = num_null[:, j]
+        np.testing.assert_allclose(np.asarray(solve.num_data)[j, mask],
+                                   np.asarray(gd.num_data)[j, mask],
+                                   atol=1e-1)
+    mask = cat_null[:, 0]
+    agree = (np.asarray(solve.cat_codes)[0, mask]
+             == np.asarray(gd.cat_codes)[0, mask]).mean()
+    assert agree > 0.95, agree
