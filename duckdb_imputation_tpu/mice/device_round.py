@@ -273,6 +273,73 @@ def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
     return dataclasses.replace(t, num_data=x, cat_codes=c)
 
 
+
+def _make_delta_agg(kernel: str, schema: FeatureSchema):
+    if kernel == "pallas_fast":
+        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_padded
+        return functools.partial(sigma_pallas_fast_padded, schema=schema)
+    return functools.partial(masked_sigma, schema=schema)
+
+
+def _delta_round_columns(x, c, k, full, num_dirty_idx, cat_dirty_idx, *,
+                         schema: FeatureSchema,
+                         num_cols_to_impute: tuple[int, ...],
+                         cat_cols_to_impute: tuple[int, ...],
+                         agg, combine, gd_iters: int, lda_shrinkage: float,
+                         noise: bool, trainer: str):
+    """One delta-MICE round (imputation_low.cpp:42-110 algebra), shared by
+    the single-device and sharded loops. `agg` produces a LOCAL sigma from
+    gathered rows; `combine` merges partials across devices (identity
+    single-device, lax.psum in the shard_map loop). `full`/`train` are
+    replicated under combine=psum; gathers and write-backs stay
+    shard-local."""
+    def delta_sigma(xx, cc, idx, valid):
+        return combine(agg(xx[:, idx], cc[:, idx], valid))
+
+    for ci, col in enumerate(cat_cols_to_impute):
+        idx, valid = cat_dirty_idx[ci]
+        delta = delta_sigma(x, c, idx, valid)
+        train = full - delta
+        w, intercept, keep = _lda_device(train, schema, col,
+                                         lda_shrinkage)
+        zt = _zt_block(x[:, idx], c[:, idx], schema)
+        feats = zt[jnp.asarray(keep[1:])]
+        scores = w.T @ feats + intercept[:, None]
+        pred_code = jnp.argmax(scores, axis=0).astype(c.dtype)
+        old = c[col, idx]
+        # scatter-ADD form: zero-padded gather indices all alias row 0
+        # and contribute exactly 0, so a real dirty row 0 can never race
+        # the pad writes (duplicate-index scatter order is undefined)
+        c = c.at[col, idx].add(
+            (valid > 0).astype(c.dtype) * (pred_code - old))
+        full = train + delta_sigma(x, c, idx, valid)
+
+    for ci, col in enumerate(num_cols_to_impute):
+        idx, valid = num_dirty_idx[ci]
+        delta = delta_sigma(x, c, idx, valid)
+        train = full - delta
+        if trainer == "solve":
+            coeff = linreg_solve_device(train, label=col + 1)
+        else:
+            coeff = linreg_train_device(train, label=col + 1,
+                                        max_iters=gd_iters)
+        zt = _zt_block(x[:, idx], c[:, idx], schema)
+        theta = coeff * (1.0 - jax.nn.one_hot(
+            col + 1, coeff.shape[0], dtype=coeff.dtype))
+        pred = theta @ zt
+        if noise:
+            k, sub = jax.random.split(k)
+            theta_full = coeff.at[col + 1].set(-1.0)
+            var = (theta_full @ train @ theta_full
+                   / jnp.maximum(train[0, 0], 1.0))
+            pred = pred + jnp.sqrt(jnp.maximum(var, 0.0)) \
+                * jax.random.normal(sub, pred.shape)
+        old = x[col, idx]
+        x = x.at[col, idx].add(valid * (pred - old))   # see cat note
+        full = train + delta_sigma(x, c, idx, valid)
+    return x, c, k, full
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
@@ -298,59 +365,18 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
     num_dirty_idx / cat_dirty_idx: per imputed column, (idx i32[k_pad],
     valid f32[k_pad]) — the dirty-row gathers, zero-padded (static shapes).
     Work per round: O(Σ dirty) instead of O(C·n)."""
-    if kernel == "pallas_fast":
-        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_padded
-        agg = functools.partial(sigma_pallas_fast_padded, schema=schema)
-    else:
-        agg = functools.partial(masked_sigma, schema=schema)
-
+    agg = _make_delta_agg(kernel, schema)
     n = x_num.shape[-1]
     full0 = agg(x_num, codes, jnp.ones((n,), jnp.float32))
 
-    def delta_sigma(x, c, idx, valid):
-        return agg(x[:, idx], c[:, idx], valid)
-
     def body(_, carry):
         x, c, k, full = carry
-        for ci, col in enumerate(cat_cols_to_impute):
-            idx, valid = cat_dirty_idx[ci]
-            delta = delta_sigma(x, c, idx, valid)
-            train = full - delta
-            w, intercept, keep = _lda_device(train, schema, col,
-                                             lda_shrinkage)
-            zt = _zt_block(x[:, idx], c[:, idx], schema)
-            feats = zt[jnp.asarray(keep[1:])]
-            scores = w.T @ feats + intercept[:, None]
-            pred_code = jnp.argmax(scores, axis=0).astype(c.dtype)
-            old = c[col, idx]
-            c = c.at[col, idx].set(
-                jnp.where(valid > 0, pred_code, old))
-            full = train + delta_sigma(x, c, idx, valid)
-
-        for ci, col in enumerate(num_cols_to_impute):
-            idx, valid = num_dirty_idx[ci]
-            delta = delta_sigma(x, c, idx, valid)
-            train = full - delta
-            if trainer == "solve":
-                coeff = linreg_solve_device(train, label=col + 1)
-            else:
-                coeff = linreg_train_device(train, label=col + 1,
-                                            max_iters=gd_iters)
-            zt = _zt_block(x[:, idx], c[:, idx], schema)
-            theta = coeff * (1.0 - jax.nn.one_hot(
-                col + 1, coeff.shape[0], dtype=coeff.dtype))
-            pred = theta @ zt
-            if noise:
-                k, sub = jax.random.split(k)
-                theta_full = coeff.at[col + 1].set(-1.0)
-                var = (theta_full @ train @ theta_full
-                       / jnp.maximum(train[0, 0], 1.0))
-                pred = pred + jnp.sqrt(jnp.maximum(var, 0.0)) \
-                    * jax.random.normal(sub, pred.shape)
-            old = x[col, idx]
-            x = x.at[col, idx].set(jnp.where(valid > 0, pred, old))
-            full = train + delta_sigma(x, c, idx, valid)
-        return x, c, k, full
+        return _delta_round_columns(
+            x, c, k, full, num_dirty_idx, cat_dirty_idx, schema=schema,
+            num_cols_to_impute=num_cols_to_impute,
+            cat_cols_to_impute=cat_cols_to_impute, agg=agg,
+            combine=lambda s: s, gd_iters=gd_iters,
+            lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer)
 
     x, c, k, _ = jax.lax.fori_loop(0, iters, body,
                                    (x_num, codes, key, full0))

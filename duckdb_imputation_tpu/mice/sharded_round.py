@@ -147,3 +147,150 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
         x_out = x_out[:, :n]
         c_out = c_out[:, :n]
     return dataclasses.replace(t, num_data=x_out, cat_codes=c_out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("schema", "mesh", "num_cols_to_impute",
+                     "cat_cols_to_impute", "gd_iters", "lda_shrinkage",
+                     "noise", "axis", "trainer"))
+def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
+                            cat_dirty_idx, *, schema: FeatureSchema, mesh,
+                            num_cols_to_impute: tuple[int, ...],
+                            cat_cols_to_impute: tuple[int, ...],
+                            iters, gd_iters: int = 500,
+                            lda_shrinkage: float = 0.001,
+                            noise: bool = False, axis: str = "data",
+                            trainer: str = "solve"):
+    """The delta-MICE strategy (imputation_low.cpp:42-110,188-194) under one
+    shard_map: ONE psum'd full aggregation up front, then per column per
+    round only each shard's LOCAL dirty rows are re-aggregated and the tiny
+    P×P deltas all-reduced — per-round communication is column-count × one
+    sigma psum, per-round compute O(Σ dirty / D) per device. `full` and
+    `train` are born replicated (every device psums the same partials);
+    gathers and write-backs never leave the shard.
+
+    num_dirty_idx / cat_dirty_idx: per imputed column,
+    (idx i32[D, k_pad], valid f32[D, k_pad]) — SHARD-LOCAL dirty-row
+    indices, row-padded to a common k_pad, sharded over the leading axis."""
+    from .device_round import _delta_round_columns, _make_delta_agg
+
+    agg = _make_delta_agg("xla", schema)
+
+    dirty_specs = tuple((P(axis, None), P(axis, None))
+                        for _ in range(len(num_dirty_idx)
+                                       + len(cat_dirty_idx)))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, axis), P(None, axis), P(axis), P(),
+                  dirty_specs[:len(num_dirty_idx)],
+                  dirty_specs[len(num_dirty_idx):]),
+        out_specs=(P(None, axis), P(None, axis)),
+    )
+    def local(x, c, val, k, ndirty, cdirty):
+        ndirty = tuple((i[0], v[0]) for i, v in ndirty)
+        cdirty = tuple((i[0], v[0]) for i, v in cdirty)
+        combine = lambda s: jax.lax.psum(s, axis)
+        full0 = combine(agg(x, c, val))
+        if noise:
+            k = jax.random.fold_in(k, jax.lax.axis_index(axis))
+
+        def body(r, carry):
+            xx, cc, kk, full = carry
+            kk = jax.random.fold_in(kk, r)
+            return _delta_round_columns(
+                xx, cc, kk, full, ndirty, cdirty, schema=schema,
+                num_cols_to_impute=num_cols_to_impute,
+                cat_cols_to_impute=cat_cols_to_impute, agg=agg,
+                combine=combine, gd_iters=gd_iters,
+                lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer)
+
+        xx, cc, _, _ = jax.lax.fori_loop(0, iters, body, (x, c, k, full0))
+        return xx, cc
+
+    return local(x_num, codes, valid, key, num_dirty_idx, cat_dirty_idx)
+
+
+def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
+                           iters: int = 5, *, mesh=None,
+                           gd_iters: int = 500,
+                           lda_shrinkage: float = 0.001,
+                           noise: bool = False, seed: int = 0,
+                           axis: str = "data",
+                           trainer: str = "solve") -> Table:
+    """Host wrapper for sharded delta-MICE: mean/mode init, rows padded to
+    the mesh and block-sharded, per-shard dirty-row gathers built once
+    (global dirty indices split by owning shard, pow2-padded to a common
+    width), then the whole loop is one dispatch."""
+    from ..parallel.mesh import make_mesh
+    from .partition import build_partitions, init_fill
+
+    t = init_fill(t)
+    parts = build_partitions(t)
+    schema = t.schema
+    mesh = mesh or make_mesh()
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    n = t.n_rows
+    pad = (-n) % ndev
+    m = (n + pad) // ndev          # rows per shard (block sharding)
+
+    if num_null_cols is None:
+        num_null_cols = tuple(j for j in range(schema.num_cols)
+                              if len(parts.num_dirty_idx[j]))
+    if cat_null_cols is None:
+        cat_null_cols = tuple(j for j in range(schema.cat_cols)
+                              if len(parts.cat_dirty_idx[j]))
+
+    def shard_gathers(idx):
+        """global dirty idx -> (idx i32[D, k_pad], valid f32[D, k_pad])
+        with idx local to each shard's row block."""
+        idx = np.asarray(idx, np.int64)
+        per = [idx[(idx >= s * m) & (idx < (s + 1) * m)] - s * m
+               for s in range(ndev)]
+        width = max(max((len(p) for p in per), default=0), 1)
+        width = 1 << (width - 1).bit_length()
+        out_i = np.zeros((ndev, width), np.int64)
+        out_v = np.zeros((ndev, width), np.float32)
+        for s, p in enumerate(per):
+            out_i[s, :len(p)] = p
+            out_v[s, :len(p)] = 1.0
+        return jnp.asarray(out_i), jnp.asarray(out_v)
+
+    num_gathers = tuple(shard_gathers(parts.num_dirty_idx[j])
+                        for j in num_null_cols)
+    cat_gathers = tuple(shard_gathers(parts.cat_dirty_idx[j])
+                        for j in cat_null_cols)
+
+    def padded(a, fill=0):
+        if pad == 0:
+            return np.asarray(a)
+        a = np.asarray(a)
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return np.pad(a, widths, constant_values=fill)
+
+    col_sh = NamedSharding(mesh, P(None, axis))
+    shard_sh = NamedSharding(mesh, P(axis, None))
+    x = jax.device_put(padded(t.num_data), col_sh)
+    c = jax.device_put(padded(t.cat_codes), col_sh)
+    valid = jax.device_put(
+        np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)]),
+        NamedSharding(mesh, P(axis)))
+    num_gathers = tuple((jax.device_put(i, shard_sh),
+                         jax.device_put(v, shard_sh))
+                        for i, v in num_gathers)
+    cat_gathers = tuple((jax.device_put(i, shard_sh),
+                         jax.device_put(v, shard_sh))
+                        for i, v in cat_gathers)
+
+    x_out, c_out = mice_loop_sharded_delta(
+        x, c, valid, jax.random.PRNGKey(seed), num_gathers, cat_gathers,
+        schema=schema, mesh=mesh,
+        num_cols_to_impute=tuple(num_null_cols),
+        cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
+        gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
+        axis=axis, trainer=trainer)
+    if pad:
+        x_out = x_out[:, :n]
+        c_out = c_out[:, :n]
+    return dataclasses.replace(t, num_data=x_out, cat_codes=c_out)

@@ -363,3 +363,43 @@ def test_mice_factorized_sharded_matches_plain():
     np.testing.assert_allclose(np.asarray(sharded.num_data),
                                np.asarray(plain.num_data),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_mice_sharded_delta_matches_device_delta():
+    """Sharded delta-MICE (per-shard dirty gathers, psum'd P×P deltas,
+    replicated full/train — imputation_low.cpp:42-110 over the mesh)
+    recovers the single-device fused delta loop's imputations."""
+    from duckdb_imputation_tpu.mice.device_round import run_mice_device_delta
+    from duckdb_imputation_tpu.mice.sharded_round import (
+        run_mice_sharded_delta,
+    )
+    from duckdb_imputation_tpu.table import from_numpy
+
+    rng = np.random.default_rng(17)
+    n = 20_011  # not divisible by 8: row-padding + shard-local gathers
+    z = rng.normal(size=(n, 2))
+    num = np.stack([z[:, 0], 2 * z[:, 0] + z[:, 1], z[:, 1] - z[:, 0],
+                    rng.normal(size=n)], 1).astype(np.float32)
+    cat = ((z[:, 0] > 0).astype(int) * 3 + 4)[:, None]
+    nn = np.zeros_like(num, bool)
+    cn = np.zeros_like(cat, bool)
+    nn[rng.choice(n, n // 20, False), 1] = True   # low-missing regime
+    cn[rng.choice(n, n // 20, False), 0] = True
+    nn[0, 1] = True   # dirty row 0: exercises the scatter-ADD pad aliasing
+
+    single = run_mice_device_delta(from_numpy(num, cat, nn, cn), iters=2,
+                                   noise=False, kernel="xla")
+    sharded = run_mice_sharded_delta(from_numpy(num, cat, nn, cn), iters=2,
+                                     noise=False, mesh=make_mesh())
+
+    xs, xd = np.asarray(sharded.num_data), np.asarray(single.num_data)
+    np.testing.assert_allclose(xs[1, nn[:, 1]], xd[1, nn[:, 1]], atol=1e-2)
+    assert (np.asarray(sharded.cat_codes)[0, cn[:, 0]]
+            == np.asarray(single.cat_codes)[0, cn[:, 0]]).mean() > 0.999
+    # untouched cells bitwise identical
+    obs = ~nn[:, 1]
+    np.testing.assert_array_equal(xs[1, obs], num[obs, 1])
+    # and the noiseless linear relation is recovered
+    truth = num[nn[:, 1], 1]
+    rmse = float(np.sqrt(np.mean((xs[1, nn[:, 1]] - truth) ** 2)))
+    assert rmse < 0.05, rmse
