@@ -221,10 +221,14 @@ def bench_nb_grouped(n=10_000_000, groups=5):
     return n / per
 
 
-def bench_qda_grouped_skewed(schema, n_blocks=1025, groups=8):
-    """BASELINE config 4: per-class triples with a 90%-skewed label — the
-    single-launch grouped Pallas kernel (sorted-segment layout; a hot class
-    is just a longer contiguous block range, so skew costs nothing)."""
+def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
+    """BASELINE config 4 through the PUBLIC path: per-class triples with a
+    90%-skewed UNSORTED label. Measures exactly what
+    `sum_to_triple_grouped(method='pallas')` dispatches at G=8 — the
+    zero-prep UNSORTED grouped kernel (all slabs VMEM-resident, inline mask
+    routing; grouping costs no prep at all) — and separately the
+    sorted-layout kernel rate (the `sort_by_group`-once pattern for large
+    G). Returns (public_rows_per_s, presorted_rows_per_s)."""
     import functools
 
     import jax
@@ -232,56 +236,75 @@ def bench_qda_grouped_skewed(schema, n_blocks=1025, groups=8):
 
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas import _sizing
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
+        _device_group_sort,
         _sigma_pallas_grouped_padded,
+        _sigma_pallas_grouped_unsorted_fast,
     )
 
     pack, _ = _sizing(schema)
     block = pack * 2048
-    # ~90% of blocks in class 0 (group-sorted layout, block-aligned)
-    blocks_per_group = [n_blocks - 7 * (n_blocks // 70)] + \
-        [n_blocks // 70] * (groups - 1)
-    n = n_blocks * block
-    gmap = np.concatenate([np.full(b, gid, np.int32)
-                           for gid, b in enumerate(blocks_per_group)])
-    first = np.zeros(n_blocks, np.int32)
-    first[np.cumsum([0] + blocks_per_group[:-1])] = 1
+    n -= n % block
+    n_total = n + (groups + 1) * block  # sort_by_group's padded length
+    d_num, d_cat = schema.num_cols, schema.cat_cols
 
     @jax.jit
     def gen(key):
-        ks = jax.random.split(key, 3)
-        x = jax.random.normal(ks[0], (4, n), jnp.float32)
-        c = jax.random.randint(ks[1], (2, n), 0, 8, jnp.int32)
+        ks = jax.random.split(key, 4)
+        x = jax.random.normal(ks[0], (d_num, n), jnp.float32)
+        c = jax.random.randint(ks[1], (d_cat, n), 0, 8, jnp.int32)
         w = jnp.ones((n,), jnp.float32)
-        return x, c, w
+        # 90% of rows in class 0, rest uniform — UNSORTED (public path sorts)
+        hot = jax.random.uniform(ks[2], (n,)) < 0.9
+        g = jnp.where(hot, 0, jax.random.randint(ks[3], (n,), 1, groups))
+        return x, c, w, g.astype(jnp.int32)
 
-    x, c, w = gen(jax.random.PRNGKey(3))
-    gmap, first = jnp.asarray(gmap), jnp.asarray(first)
-    jax.block_until_ready((x, c, w))
+    x, c, w, g = gen(jax.random.PRNGKey(3))
+    jax.block_until_ready((x, c, w, g))
+    p = schema.sigma_size
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def loop(x, c, w, iters: int):
-        def body(i, acc):
-            s = _sigma_pallas_grouped_padded(
-                x, c, w + 1e-9 * i.astype(jnp.float32), gmap, first,
-                schema=schema, num_groups=groups, chunk_cols=2048)
+    @functools.partial(jax.jit, static_argnames=("iters", "presorted"))
+    def loop(x, c, w, g, iters: int, presorted: bool):
+        x_s, c_s, w_s, gmap, first = _device_group_sort(
+            x, c, w, g, num_groups=groups, block=block, n_total=n_total,
+            d=d_num, c=d_cat)
+
+        def body_public(i, acc):
+            # the public method='pallas' dispatch at G=8: unsorted
+            # split-precision kernel (binary group masks), zero prep
+            # (weights perturbed to defeat loop hoisting; rounds away in
+            # the bf16 fold)
+            s = _sigma_pallas_grouped_unsorted_fast(
+                x, c, w + 1e-9 * i.astype(jnp.float32), g, schema=schema,
+                num_groups=groups, chunk_cols=2048)
             return acc + jnp.sum(s, axis=0)
-        p = schema.sigma_size
-        return jax.lax.fori_loop(0, iters, body,
+
+        def body_presorted(i, acc):
+            s = _sigma_pallas_grouped_padded(
+                x_s, c_s, w_s + 1e-9 * i.astype(jnp.float32), gmap, first,
+                schema=schema, num_groups=groups + 1, chunk_cols=2048)
+            return acc + jnp.sum(s[:groups], axis=0)
+
+        return jax.lax.fori_loop(0, iters,
+                                 body_presorted if presorted else body_public,
                                  jnp.zeros((p, p), jnp.float32))
 
-    k_lo, k_hi = 4, 44
-    np.asarray(loop(x, c, w, iters=k_lo))
-    np.asarray(loop(x, c, w, iters=k_hi))
-    t0 = time.perf_counter()
-    np.asarray(loop(x, c, w, iters=k_hi))
-    d_hi = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(loop(x, c, w, iters=k_lo))
-    d_lo = time.perf_counter() - t0
-    per = (d_hi - d_lo) / (k_hi - k_lo)
-    log(f"QDA grouped skewed ({groups} classes, 90% hot) @{n}: "
-        f"{per * 1e3:.2f} ms -> {n / per / 1e9:.2f}G rows/s")
-    return n / per
+    rates = []
+    for presorted in (False, True):
+        k_lo, k_hi = 4, 24
+        np.asarray(loop(x, c, w, g, iters=k_lo, presorted=presorted))
+        np.asarray(loop(x, c, w, g, iters=k_hi, presorted=presorted))
+        t0 = time.perf_counter()
+        np.asarray(loop(x, c, w, g, iters=k_hi, presorted=presorted))
+        d_hi = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(loop(x, c, w, g, iters=k_lo, presorted=presorted))
+        d_lo = time.perf_counter() - t0
+        per = (d_hi - d_lo) / (k_hi - k_lo)
+        tag = "presorted kernel-only" if presorted else "public (sort+kernel)"
+        log(f"QDA grouped skewed ({groups} classes, 90% hot, {tag}) @{n}: "
+            f"{per * 1e3:.2f} ms -> {n / per / 1e9:.2f}G rows/s")
+        rates.append(n / per)
+    return tuple(rates)
 
 
 def bench_mice_round(schema, n=10_000_000):
@@ -345,8 +368,9 @@ def main():
         # the remaining BASELINE.json configs
         extras["numeric_4_0_rows_per_s"] = round(bench_numeric_4_0())
         extras["nb_grouped_8_4_rows_per_s"] = round(bench_nb_grouped())
-        extras["qda_grouped_skewed_rows_per_s"] = round(
-            bench_qda_grouped_skewed(schema))
+        qda_public, qda_presorted = bench_qda_grouped_skewed(schema)
+        extras["qda_grouped_skewed_rows_per_s"] = round(qda_public)
+        extras["qda_grouped_presorted_rows_per_s"] = round(qda_presorted)
         for big_n in (100_000_000, 50_000_000):
             try:
                 extras[f"mice_round_ms_{big_n // 1_000_000}M_rows"] = round(

@@ -75,28 +75,13 @@ def sum_to_triple_sharded2d(x_num=None, codes=None, weights=None, *,
                             schema: FeatureSchema, mesh: Mesh,
                             row_chunk: int = DEFAULT_ROW_CHUNK) -> Triple:
     """Aggregate with rows sharded over 'data' and sigma columns over
-    'model'. Returns a fully-gathered Triple (tests / small V); production
-    wide-V flows keep the column-sharded sigma on-device and feed the
-    sharded solver directly."""
-    n = x_num.shape[-1] if x_num is not None else codes.shape[-1]
-    if x_num is None:
-        x_num = np.zeros((0, n), np.float32)
-    if codes is None:
-        codes = np.zeros((0, n), np.int32)
-    if weights is None:
-        weights = np.ones((n,), np.float32)
-    nd = mesh.shape["data"]
-    def pad(a):
-        a = np.asarray(a)
-        padn = (-a.shape[-1]) % nd
-        if padn == 0:
-            return jnp.asarray(a)
-        widths = [(0, 0)] * (a.ndim - 1) + [(0, padn)]
-        return jnp.asarray(np.pad(a, widths))
-    sigma_cols = _sigma_2d(pad(np.asarray(x_num, np.float32)),
-                           pad(np.asarray(codes, np.int32)),
-                           pad(np.asarray(weights, np.float32)),
-                           schema=schema, mesh=mesh, row_chunk=row_chunk)
-    p = schema.sigma_size
-    sigma = np.asarray(sigma_cols)[:, :p]
-    return triple_from_sigma(jnp.asarray(sigma), schema.num_cols)
+    'model', returned as a Triple view of the sharded sigma (the slice runs
+    on-device — no host round trip). Production wide-V flows skip the
+    Triple view and feed `parallel.wide.sigma_wide` straight into the
+    column-sharded CG solver (`parallel.wide.cg_solve_wide`), which keeps
+    per-device sigma memory at P × (P/M) through the entire solve."""
+    from .wide import sigma_wide  # local import: wide.py builds on _sigma_2d
+    sigma_cols = sigma_wide(x_num, codes, weights, schema=schema, mesh=mesh,
+                            row_chunk=row_chunk)
+    return triple_from_sigma(sigma_cols[:, :schema.sigma_size],
+                             schema.num_cols)

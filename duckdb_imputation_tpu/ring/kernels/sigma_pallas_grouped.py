@@ -42,6 +42,297 @@ from ..triple import Triple, triple_from_sigma
 from .sigma_pallas import _seg_size, _sizing
 
 
+def _grouped_unsorted_kernel(x_ref, codes_ref, w_ref, g_ref, out_ref, *,
+                             schema: FeatureSchema, pack: int, chunk: int,
+                             width: int, num_groups: int):
+    """Single-pass UNSORTED grouped Gram: all `num_groups` output slabs stay
+    resident in VMEM; each block builds the packed Z once (the expensive
+    part — VPU one-hot construction) and then runs one masked weight-fold +
+    one MXU pass per group. No grouping prep of any kind — the direct
+    analogue of DuckDB's hash aggregate (one pass, group routing inline),
+    and skew-immune by construction (a hot group is just a denser mask)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    p_pad = _seg_size(schema, pack, width)
+    d = schema.num_cols
+    offs = schema.offsets
+    q = jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+
+    zts, wrows, grows = [], [], []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        zt = jnp.broadcast_to((q == 0).astype(jnp.float32), (p_pad, chunk))
+        for j in range(d):
+            zt = zt + (q == 1 + j).astype(jnp.float32) * x_ref[j, sl][None, :]
+        for j, size in enumerate(schema.cat_sizes):
+            start = 1 + d + offs[j]
+            inseg = jnp.logical_and(q >= start, q < start + size)
+            hit = jnp.logical_and(
+                inseg, codes_ref[j, sl][None, :] == (q - start))
+            zt = zt + hit.astype(jnp.float32)
+        zts.append(zt)
+        wrows.append(w_ref[:, sl])
+        grows.append(g_ref[:, sl])
+    zpad = (jnp.zeros((width - pack * p_pad, chunk), jnp.float32)
+            if pack * p_pad < width else None)
+    zt_packed = jnp.concatenate(zts + ([zpad] if zpad is not None else []),
+                                axis=0) if pack > 1 or zpad is not None \
+        else zts[0]
+
+    for gid in range(num_groups):
+        zws = [zts[k] * (wrows[k] * (grows[k] == gid).astype(jnp.float32))
+               for k in range(pack)]
+        if zpad is not None:
+            zws.append(zpad)
+        zw_packed = jnp.concatenate(zws, axis=0) if len(zws) > 1 else zws[0]
+        out_ref[gid] += jax.lax.dot_general(
+            zt_packed, zw_packed, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "num_groups",
+                                             "chunk_cols"))
+def _sigma_pallas_grouped_unsorted(x_num, codes, weights, group_ids, *,
+                                   schema: FeatureSchema, num_groups: int,
+                                   chunk_cols: int):
+    """Unsorted grouped sigma, one kernel launch, zero prep. Inputs must be
+    block-aligned (pad with weight 0); out-of-range group ids are dropped
+    (no mask matches). Returns f32[num_groups, P, P]."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = weights.shape[-1]
+    p = schema.sigma_size
+    pack, width = _sizing(schema)
+    block = pack * chunk_cols
+    n_blocks = n // block
+
+    out = pl.pallas_call(
+        functools.partial(_grouped_unsorted_kernel, schema=schema, pack=pack,
+                          chunk=chunk_cols, width=width,
+                          num_groups=num_groups),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((max(d, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_groups, width, width),
+                               lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_groups, width, width),
+                                       jnp.float32),
+    )(x_num if d else jnp.zeros((1, n), jnp.float32),
+      codes if c else jnp.zeros((1, n), jnp.int32),
+      weights.reshape(1, n),
+      jnp.asarray(group_ids, jnp.int32).reshape(1, n))
+
+    seg = _seg_size(schema, pack, width)
+    sigma = out[:, :p, :p]
+    for k in range(1, pack):
+        sigma = sigma + out[:, k * seg:k * seg + p, k * seg:k * seg + p]
+    return sigma
+
+
+def _grouped_unsorted_fast_kernel(x_ref, codes_ref, w_ref, g_ref, s0_ref,
+                                  cor_ref, ee_ref, *,
+                                  schema: FeatureSchema, pack: int,
+                                  chunk: int, width: int, eseg: int,
+                                  num_groups: int):
+    """Split-precision unsorted grouped Gram (BINARY weights): the bf16
+    base-plus-correction decomposition of sigma_pallas_fast applied per
+    group slab. Group routing masks w·[g==gid] are binary, so the bf16
+    weight fold stays exact and every per-group matmul is single-pass bf16
+    (~6× the f32-HIGHEST MXU rate) — this is what makes dense inline group
+    routing affordable: the ×G MXU cost runs at full bf16 throughput while
+    the expensive VPU Z build still happens once."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        s0_ref[:] = jnp.zeros_like(s0_ref)
+        cor_ref[:] = jnp.zeros_like(cor_ref)
+        ee_ref[:] = jnp.zeros_like(ee_ref)
+
+    p_pad = _seg_size(schema, pack, width)
+    d = schema.num_cols
+    offs = schema.offsets
+    q = jax.lax.broadcasted_iota(jnp.int32, (p_pad, 1), 0)
+    qe = jax.lax.broadcasted_iota(jnp.int32, (eseg, 1), 0)
+
+    zbs, es, wrows, grows = [], [], [], []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        zt = jnp.broadcast_to((q == 0).astype(jnp.float32), (p_pad, chunk))
+        for j in range(d):
+            zt = zt + (q == 1 + j).astype(jnp.float32) * x_ref[j, sl][None, :]
+        for j, size in enumerate(schema.cat_sizes):
+            start = 1 + d + offs[j]
+            inseg = jnp.logical_and(q >= start, q < start + size)
+            hit = jnp.logical_and(
+                inseg, codes_ref[j, sl][None, :] == (q - start))
+            zt = zt + hit.astype(jnp.float32)
+        zbs.append(zt.astype(jnp.bfloat16))
+        e = jnp.zeros((eseg, chunk), jnp.float32)
+        for j in range(d):
+            xj = x_ref[j, sl][None, :]
+            e = e + (qe == j).astype(jnp.float32) * (
+                xj - xj.astype(jnp.bfloat16).astype(jnp.float32))
+        es.append(e.astype(jnp.bfloat16))
+        wrows.append(w_ref[:, sl])
+        grows.append(g_ref[:, sl])
+    zpad = (jnp.zeros((width - pack * p_pad, chunk), jnp.bfloat16)
+            if pack * p_pad < width else None)
+    zb_p = jnp.concatenate(zbs + ([zpad] if zpad is not None else []),
+                           axis=0) if pack > 1 or zpad is not None \
+        else zbs[0]
+
+    def bdot(a, b):
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    for gid in range(num_groups):
+        wgs = [(wrows[k] * (grows[k] == gid).astype(jnp.float32))
+               .astype(jnp.bfloat16) for k in range(pack)]
+        zbws = [zbs[k] * wgs[k] for k in range(pack)]
+        ews = [es[k] * wgs[k] for k in range(pack)]
+        if zpad is not None:
+            zbws.append(zpad)
+        zbw_p = (jnp.concatenate(zbws, axis=0) if len(zbws) > 1
+                 else zbws[0])
+        ew_p = jnp.concatenate(ews, axis=0) if pack > 1 else ews[0]
+        s0_ref[gid] += bdot(zb_p, zbw_p)
+        cor_ref[gid] += bdot(ew_p, zb_p)
+        ee_ref[gid] += bdot(ew_p, ew_p)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "num_groups",
+                                             "chunk_cols"))
+def _sigma_pallas_grouped_unsorted_fast(x_num, codes, weights, group_ids, *,
+                                        schema: FeatureSchema,
+                                        num_groups: int, chunk_cols: int):
+    from .sigma_pallas import _round_up
+    d, c = schema.num_cols, schema.cat_cols
+    n = weights.shape[-1]
+    p = schema.sigma_size
+    pack, width = _sizing(schema)
+    seg = _seg_size(schema, pack, width)
+    eseg = _round_up(max(d, 1), 8)
+    block = pack * chunk_cols
+    n_blocks = n // block
+
+    s0, cor, ee = pl.pallas_call(
+        functools.partial(_grouped_unsorted_fast_kernel, schema=schema,
+                          pack=pack, chunk=chunk_cols, width=width,
+                          eseg=eseg, num_groups=num_groups),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((max(d, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((num_groups, width, width), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_groups, pack * eseg, width),
+                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_groups, pack * eseg, pack * eseg),
+                         lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_groups, width, width), jnp.float32),
+            jax.ShapeDtypeStruct((num_groups, pack * eseg, width),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((num_groups, pack * eseg, pack * eseg),
+                                 jnp.float32),
+        ),
+    )(x_num if d else jnp.zeros((1, n), jnp.float32),
+      codes if c else jnp.zeros((1, n), jnp.int32),
+      weights.reshape(1, n),
+      jnp.asarray(group_ids, jnp.int32).reshape(1, n))
+
+    sigma = jnp.zeros((num_groups, p, p), jnp.float32)
+    for k in range(pack):
+        sigma = sigma + s0[:, k * seg:k * seg + p, k * seg:k * seg + p]
+    corr = jnp.zeros((num_groups, p, p), jnp.float32)
+    for k in range(pack):
+        corr = corr.at[:, 1:1 + d, :].add(
+            cor[:, k * eseg:k * eseg + d, k * seg:k * seg + p])
+    sigma = sigma + corr + jnp.swapaxes(corr, -1, -2)
+    eecorr = jnp.zeros((num_groups, d, d), jnp.float32)
+    for k in range(pack):
+        eecorr = eecorr + ee[:, k * eseg:k * eseg + d,
+                             k * eseg:k * eseg + d]
+    return sigma.at[:, 1:1 + d, 1:1 + d].add(eecorr)
+
+
+# Cap on resident output-slab VMEM for the unsorted kernel (f32 bytes);
+# beyond this the sort+slab path wins despite its prep cost.
+_UNSORTED_VMEM_BUDGET = 6 << 20
+
+
+def unsorted_group_limit(schema: FeatureSchema) -> int:
+    _, width = _sizing(schema)
+    return max(_UNSORTED_VMEM_BUDGET // (width * width * 4), 1)
+
+
+def sum_to_triple_grouped_unsorted(x_num, codes, group_ids, *,
+                                   schema: FeatureSchema, num_groups: int,
+                                   weights=None, fast: bool | None = None,
+                                   chunk_cols: int = 2048) -> Triple:
+    """GROUP BY aggregation with NO grouping prep: single pass, group
+    routing by inline masks inside the kernel. Preferred for small-to-medium
+    group counts (per-class LDA/QDA/NB — the reference's GROUP BY label,
+    qda.cpp); for num_groups > unsorted_group_limit(schema) use the
+    sorted-slab path.
+
+    fast: split-precision bf16 base + exact-rank-d correction — valid for
+    BINARY weights (masks / GROUP BY with no weight column). Defaults to
+    True when weights is None (all-ones), False otherwise."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = len(group_ids)
+    if fast is None:
+        fast = weights is None
+    if x_num is None:
+        x_num = jnp.zeros((0, n), jnp.float32)
+    if codes is None:
+        codes = jnp.zeros((0, n), jnp.int32)
+    if weights is None:
+        weights = jnp.ones((n,), jnp.float32)
+    pack, _ = _sizing(schema)
+    block = pack * chunk_cols
+    pad = (-n) % block
+    x_in = jnp.asarray(x_num, jnp.float32)
+    c_in = jnp.asarray(codes, jnp.int32)
+    w_in = jnp.asarray(weights, jnp.float32)
+    g_in = jnp.asarray(group_ids, jnp.int32)
+    if pad:
+        if d:
+            x_in = jnp.pad(x_in, ((0, 0), (0, pad)))
+        if c:
+            c_in = jnp.pad(c_in, ((0, 0), (0, pad)))
+        w_in = jnp.pad(w_in, (0, pad))
+        g_in = jnp.pad(g_in, (0, pad), constant_values=-1)
+    kern = (_sigma_pallas_grouped_unsorted_fast if fast
+            else _sigma_pallas_grouped_unsorted)
+    sigma = kern(x_in, c_in, w_in, g_in, schema=schema,
+                 num_groups=num_groups, chunk_cols=chunk_cols)
+    return triple_from_sigma(sigma, schema.num_cols)
+
+
 def _grouped_kernel(gmap_ref, first_ref, x_ref, codes_ref, w_ref, out_ref,
                     *, schema: FeatureSchema, pack: int, chunk: int,
                     width: int):

@@ -211,9 +211,14 @@ def sum_to_triple_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
         contiguous-segment Gram per group: TOTAL work is a single data pass
         regardless of G — the hash-aggregation analogue. Skew-immune too:
         a hot key just owns a longer contiguous range.
-      'pallas' — the sorted-segment strategy as ONE kernel launch with a
-        scalar-prefetched block→group map (TPU only; no per-group-size
-        recompiles). See kernels/sigma_pallas_grouped.py.
+      'pallas' — single kernel launch, no host traffic (TPU only; no
+        per-group-size recompiles). Two strategies inside
+        kernels/sigma_pallas_grouped.py: for small-to-medium G the UNSORTED
+        kernel keeps all G output slabs VMEM-resident and routes every
+        block's contribution by inline group masks — zero prep, one data
+        pass (the hash-aggregate analogue); for large G, a device
+        pad-then-payload-sort lays groups on block boundaries and a
+        scalar-prefetched block→slab map streams them.
       'auto' — pallas on TPU for large n·G, sorted/masked otherwise."""
     x_num, codes, weights, n = _normalize_inputs(x_num, codes, weights)
     if method == "auto":
@@ -224,7 +229,15 @@ def sum_to_triple_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
             method = "sorted" if (n * num_groups >= (1 << 22)
                                   and num_groups > 2) else "masked"
     if method == "pallas":
-        from .kernels.sigma_pallas_grouped import sum_to_triple_grouped_pallas
+        from .kernels.sigma_pallas_grouped import (
+            sum_to_triple_grouped_pallas,
+            sum_to_triple_grouped_unsorted,
+            unsorted_group_limit,
+        )
+        if num_groups <= unsorted_group_limit(schema):
+            return sum_to_triple_grouped_unsorted(
+                x_num, codes, group_ids, schema=schema,
+                num_groups=num_groups, weights=weights)
         return sum_to_triple_grouped_pallas(
             x_num, codes, group_ids, schema=schema, num_groups=num_groups,
             weights=weights)

@@ -90,6 +90,57 @@ def test_grouped_pallas_interpret():
                                rtol=1e-5, atol=1e-2)
 
 
+def test_grouped_pallas_unsorted_interpret():
+    """The zero-prep unsorted grouped kernel (all slabs VMEM-resident,
+    inline mask routing) matches the masked path, including empty groups,
+    out-of-range ids, non-binary weights, and block padding."""
+    from jax.experimental.pallas import tpu as pltpu
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
+        sum_to_triple_grouped_unsorted,
+    )
+    rng = np.random.default_rng(9)
+    num, codes, g, schema = _data(n=6000)
+    g = np.where(g == 3, 99, g).astype(np.int32)      # out-of-range dropped
+    w = rng.random(6000).astype(np.float32)            # non-binary weights
+    with pltpu.force_tpu_interpret_mode():
+        got = sum_to_triple_grouped_unsorted(num, codes, g, schema=schema,
+                                             num_groups=7, weights=w)
+    ref = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
+                                weights=w, method="masked")
+    np.testing.assert_allclose(np.asarray(ref.n), np.asarray(got.n),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.lin_cat),
+                               np.asarray(got.lin_cat), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.quad), np.asarray(got.quad),
+                               rtol=1e-5, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(ref.cat_cat),
+                               np.asarray(got.cat_cat), rtol=1e-5, atol=1e-2)
+
+
+def test_grouped_pallas_unsorted_fast_interpret():
+    """Split-precision unsorted grouped kernel (binary group masks): counts
+    exact, quad within the bf16-correction tolerance."""
+    from jax.experimental.pallas import tpu as pltpu
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
+        sum_to_triple_grouped_unsorted,
+    )
+    num, codes, g, schema = _data(n=6000, skew=True)
+    with pltpu.force_tpu_interpret_mode():
+        got = sum_to_triple_grouped_unsorted(num, codes, g, schema=schema,
+                                             num_groups=7, fast=True)
+    ref = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
+                                method="masked")
+    np.testing.assert_array_equal(np.asarray(ref.n), np.asarray(got.n))
+    np.testing.assert_array_equal(np.asarray(ref.lin_cat),
+                                  np.asarray(got.lin_cat))
+    np.testing.assert_array_equal(np.asarray(ref.cat_cat),
+                                  np.asarray(got.cat_cat))
+    np.testing.assert_allclose(np.asarray(ref.quad), np.asarray(got.quad),
+                               rtol=1e-4, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ref.lin), np.asarray(got.lin),
+                               rtol=1e-4, atol=1e-2)
+
+
 def test_grouped_pallas_presorted_reuse():
     """sort_by_group once, aggregate repeatedly with CHANGED weights — the
     amortized per-class pattern (layout reuse must track weights given in
