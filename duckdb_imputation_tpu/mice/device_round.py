@@ -40,11 +40,23 @@ from ..table.table import Table
 PREDICT_ROW_CHUNK = 1 << 21
 
 
+def _row_noise(key, gidx):
+    """Standard normals keyed by GLOBAL row index — counter-based: each
+    row's draw is a pure function of (key, global index), so stochastic
+    MICE results are identical for any device count, shard layout, or
+    predict chunking. TPU-native replacement for the reference's
+    /dev/urandom-seeded Box-Muller stream (regression.cpp:377-395,493-504),
+    which is not reproducible at all."""
+    return jax.vmap(
+        lambda j: jax.random.normal(jax.random.fold_in(key, j)))(gidx)
+
+
 def _chunked_writeback(x_num, codes, null_row, col, compute_pred,
                        target: str):
     """Stream predict + masked column write-back over row chunks.
 
-    compute_pred(x_chunk, codes_chunk, i) -> pred [chunk]. The written
+    compute_pred(x_chunk, codes_chunk, start) -> pred [chunk] (start = the
+    chunk's local row offset, for global-index noise keying). The written
     column never feeds its own prediction (label coefficient zeroed / label
     one-hot excluded), so the overlapping tail chunk is idempotent."""
     n = x_num.shape[-1]
@@ -58,7 +70,7 @@ def _chunked_writeback(x_num, codes, null_row, col, compute_pred,
             if x.shape[0] else x[:, :rc]
         cs = jax.lax.dynamic_slice(c, (0, start), (c.shape[0], rc)) \
             if c.shape[0] else c[:, :rc]
-        pred = compute_pred(xs, cs, i)
+        pred = compute_pred(xs, cs, start)
         nulls = jax.lax.dynamic_slice(null_row, (start,), (rc,))
         if target == "num":
             old = jax.lax.dynamic_slice(x, (col, start), (1, rc))[0]
@@ -117,13 +129,15 @@ def _round_columns(x_num, codes, num_null, cat_null, *,
                    num_cols_to_impute: tuple[int, ...],
                    cat_cols_to_impute: tuple[int, ...],
                    agg, gd_iters: int, lda_shrinkage: float,
-                   noise_key_for, trainer: str = "solve"):
+                   noise_key_for, trainer: str = "solve", row_offset=0):
     """One MICE round's per-column body, shared by the single-device and
     sharded loops. `agg(x, c, null_row) -> sigma` abstracts how the
     aggregate is produced (device-local kernel vs psum-combined shard_map);
     `noise_key_for(col) -> key | None` abstracts the noise keying (None ⇒
-    deterministic prediction). Categorical columns first — the reference's
-    ordering (imputation_base.cpp:18-87).
+    deterministic prediction); `row_offset` is this shard's global row
+    offset so noise draws are keyed by GLOBAL row index (mesh-shape
+    invariant). Categorical columns first — the reference's ordering
+    (imputation_base.cpp:18-87).
 
     trainer: 'solve' (default) — ONE lstsq on the P×P sigma per column;
     'gd' — the reference's sequential GD (regression.cpp:157-238) as a
@@ -162,11 +176,11 @@ def _round_columns(x_num, codes, num_null, cat_null, *,
         else:
             std = None
 
-        def lin_pred(xs, cs, i, theta=theta, std=std, nkey=nkey):
+        def lin_pred(xs, cs, start, theta=theta, std=std, nkey=nkey):
             pred = theta @ _zt_block(xs, cs, schema)
             if std is not None:
-                pred = pred + std * jax.random.normal(
-                    jax.random.fold_in(nkey, i), pred.shape)
+                gidx = row_offset + start + jnp.arange(pred.shape[0])
+                pred = pred + std * _row_noise(nkey, gidx)
             return pred
 
         x_num, codes = _chunked_writeback(
@@ -286,13 +300,16 @@ def _delta_round_columns(x, c, k, full, num_dirty_idx, cat_dirty_idx, *,
                          num_cols_to_impute: tuple[int, ...],
                          cat_cols_to_impute: tuple[int, ...],
                          agg, combine, gd_iters: int, lda_shrinkage: float,
-                         noise: bool, trainer: str):
+                         noise: bool, trainer: str, row_offset=0):
     """One delta-MICE round (imputation_low.cpp:42-110 algebra), shared by
     the single-device and sharded loops. `agg` produces a LOCAL sigma from
     gathered rows; `combine` merges partials across devices (identity
     single-device, lax.psum in the shard_map loop). `full`/`train` are
     replicated under combine=psum; gathers and write-backs stay
-    shard-local."""
+    shard-local. `k` must already be folded per round; noise draws are
+    keyed by (k, col, GLOBAL row index = row_offset + local idx) so
+    stochastic results are identical for any mesh shape or dirty-row
+    padding."""
     def delta_sigma(xx, cc, idx, valid):
         return combine(agg(xx[:, idx], cc[:, idx], valid))
 
@@ -328,12 +345,12 @@ def _delta_round_columns(x, c, k, full, num_dirty_idx, cat_dirty_idx, *,
             col + 1, coeff.shape[0], dtype=coeff.dtype))
         pred = theta @ zt
         if noise:
-            k, sub = jax.random.split(k)
+            nkey = jax.random.fold_in(k, col)
             theta_full = coeff.at[col + 1].set(-1.0)
             var = (theta_full @ train @ theta_full
                    / jnp.maximum(train[0, 0], 1.0))
             pred = pred + jnp.sqrt(jnp.maximum(var, 0.0)) \
-                * jax.random.normal(sub, pred.shape)
+                * _row_noise(nkey, row_offset + idx)
         old = x[col, idx]
         x = x.at[col, idx].add(valid * (pred - old))   # see cat note
         full = train + delta_sigma(x, c, idx, valid)
@@ -369,14 +386,16 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
     n = x_num.shape[-1]
     full0 = agg(x_num, codes, jnp.ones((n,), jnp.float32))
 
-    def body(_, carry):
+    def body(r, carry):
         x, c, k, full = carry
-        return _delta_round_columns(
-            x, c, k, full, num_dirty_idx, cat_dirty_idx, schema=schema,
+        x, c, _, full = _delta_round_columns(
+            x, c, jax.random.fold_in(k, r), full, num_dirty_idx,
+            cat_dirty_idx, schema=schema,
             num_cols_to_impute=num_cols_to_impute,
             cat_cols_to_impute=cat_cols_to_impute, agg=agg,
             combine=lambda s: s, gd_iters=gd_iters,
             lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer)
+        return x, c, k, full
 
     x, c, k, _ = jax.lax.fori_loop(0, iters, body,
                                    (x_num, codes, key, full0))

@@ -25,8 +25,9 @@ communication is D-independent (one P×P psum per column) — efficiency
 approaches 1 as n grows; the ≥80%-at-N-hosts target is met whenever the
 per-shard aggregation time dominates the ~µs sigma all-reduce.
 
-Stochastic-regression noise is keyed per (device shard, round, column) so
-shards draw independent gaussians.
+Stochastic-regression noise is keyed per (round, column, GLOBAL row index)
+— counter-based draws, no shard fold — so shards draw independent gaussians
+AND the result is bit-identical across mesh shapes (1 chip ≡ N chips).
 """
 from __future__ import annotations
 
@@ -73,13 +74,15 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
             return jax.lax.psum(
                 masked_sigma(xx, cc, w_mask, schema=schema), axis)
 
+        # noise is keyed by (round, column, GLOBAL row index) — no shard
+        # fold — so stochastic results are identical for any device count
+        row_offset = jax.lax.axis_index(axis) * x.shape[-1]
+
         def one_round(r, carry):
             x, c = carry
             if noise:
-                shard = jax.lax.axis_index(axis)
                 noise_key_for = (
-                    lambda col: jax.random.fold_in(
-                        jax.random.fold_in(k, r * 131 + col), shard))
+                    lambda col: jax.random.fold_in(k, r * 131 + col))
             else:
                 noise_key_for = lambda col: None
             return _round_columns(
@@ -87,7 +90,8 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
                 num_cols_to_impute=num_cols_to_impute,
                 cat_cols_to_impute=cat_cols_to_impute, agg=agg,
                 gd_iters=gd_iters, lda_shrinkage=lda_shrinkage,
-                noise_key_for=noise_key_for, trainer=trainer)
+                noise_key_for=noise_key_for, trainer=trainer,
+                row_offset=row_offset)
 
         x_out, c_out = jax.lax.fori_loop(0, iters, one_round, (x, c))
         return x_out, c_out
@@ -193,18 +197,21 @@ def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
         cdirty = tuple((i[0], v[0]) for i, v in cdirty)
         combine = lambda s: jax.lax.psum(s, axis)
         full0 = combine(agg(x, c, val))
-        if noise:
-            k = jax.random.fold_in(k, jax.lax.axis_index(axis))
+        # noise keyed by (round, col, GLOBAL row index): mesh-shape
+        # invariant, no shard fold
+        row_offset = jax.lax.axis_index(axis) * x.shape[-1]
 
         def body(r, carry):
             xx, cc, kk, full = carry
-            kk = jax.random.fold_in(kk, r)
-            return _delta_round_columns(
-                xx, cc, kk, full, ndirty, cdirty, schema=schema,
+            xx, cc, _, full = _delta_round_columns(
+                xx, cc, jax.random.fold_in(kk, r), full, ndirty, cdirty,
+                schema=schema,
                 num_cols_to_impute=num_cols_to_impute,
                 cat_cols_to_impute=cat_cols_to_impute, agg=agg,
                 combine=combine, gd_iters=gd_iters,
-                lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer)
+                lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer,
+                row_offset=row_offset)
+            return xx, cc, kk, full
 
         xx, cc, _, _ = jax.lax.fori_loop(0, iters, body, (x, c, k, full0))
         return xx, cc

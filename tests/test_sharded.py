@@ -305,6 +305,50 @@ def test_mice_sharded_with_noise_runs():
     assert np.unique(np.round(resid, 6)).size > 10
 
 
+def test_mice_sharded_noise_mesh_invariant():
+    """Stochastic MICE is reproducible ACROSS MESH SHAPES: noise is keyed
+    by (round, column, global row index), so 2-device and 8-device runs —
+    and the full-rescan and delta sharded loops' noise streams — do not
+    depend on shard boundaries. (The reference's /dev/urandom stream is
+    unreproducible even run-to-run, regression.cpp:377-395.)"""
+    from duckdb_imputation_tpu.mice.sharded_round import (
+        run_mice_sharded,
+        run_mice_sharded_delta,
+    )
+    from duckdb_imputation_tpu.table import from_numpy
+
+    rng = np.random.default_rng(21)
+    n = 4096
+    b = rng.normal(size=n).astype(np.float32)
+    a = 3 * b + 0.1 * rng.normal(size=n).astype(np.float32)
+    cat = ((b > 0).astype(np.int64) * 5 + 2)[:, None]
+    nn = np.zeros((n, 2), bool)
+    nn[rng.choice(n, n // 4, False), 0] = True
+    cn = np.zeros((n, 1), bool)
+    cn[rng.choice(n, n // 5, False), 0] = True
+
+    def run(fn, ndev):
+        t = from_numpy(np.stack([a, b], 1), cat.copy(), nn, cn)
+        out = fn(t, iters=2, gd_iters=50, noise=True, seed=7,
+                 mesh=make_mesh(ndev))
+        return np.asarray(out.num_data), np.asarray(out.cat_codes)
+
+    for fn in (run_mice_sharded, run_mice_sharded_delta):
+        x2, c2 = run(fn, 2)
+        x8, c8 = run(fn, 8)
+        # the noise stream is bit-identical across meshes; the residual
+        # ~3e-5 comes from f32 psum reduction order in the sigma (2 vs 8
+        # partials) feeding the solve — orders below the 0.1 noise scale
+        np.testing.assert_allclose(x2, x8, rtol=1e-4, atol=5e-4)
+        np.testing.assert_array_equal(c2, c8)
+        # and the noise is real: imputed values differ from the noiseless run
+        t0 = from_numpy(np.stack([a, b], 1), cat.copy(), nn, cn)
+        out0 = fn(t0, iters=2, gd_iters=50, noise=False, seed=7,
+                  mesh=make_mesh(8))
+        assert not np.allclose(np.asarray(out0.num_data)[0, nn[:, 0]],
+                               x8[0, nn[:, 0]])
+
+
 def test_factorized_join_sharded_equals_single(table):
     """Sharded factorized join-aggregate == single-device fused contraction
     (and therefore == the materialized join, pinned elsewhere)."""
