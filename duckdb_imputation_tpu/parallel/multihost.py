@@ -47,23 +47,31 @@ def global_mesh(axis: str = "data") -> Mesh:
 def union_vocab(local_keys: tuple[tuple[int, ...], ...]):
     """Union per-column vocabularies across processes — the distributed
     `build_list_of_uniq_categoricals`. Uses process_allgather of the (tiny)
-    per-host unique arrays; single-process this is the identity."""
+    per-host unique arrays; single-process this is the identity.
+
+    Keys are i32 (the framework's category-code dtype). Per-process lengths
+    are gathered explicitly and each process's prefix sliced out — a pad
+    SENTINEL would be unsafe: under x32 process_allgather truncates int64,
+    so INT64_MIN silently becomes 0 and leaks a phantom category (found by
+    tests/test_multihost.py on the first real 2-process run)."""
     if jax.process_count() == 1:
         return local_keys
     from jax.experimental import multihost_utils
 
+    nproc = jax.process_count()
     out = []
     for keys in local_keys:
-        arr = np.asarray(keys, np.int64)
-        # pad to a common length for the allgather
-        n = np.asarray([len(arr)])
-        max_n = int(multihost_utils.process_allgather(n).max())
-        pad = np.full(max_n, np.iinfo(np.int64).min, np.int64)
+        arr = np.asarray(keys, np.int32)
+        ns = np.asarray(multihost_utils.process_allgather(
+            np.asarray([len(arr)], np.int32))).reshape(nproc)
+        max_n = max(int(ns.max()), 1)
+        pad = np.zeros(max_n, np.int32)
         pad[:len(arr)] = arr
-        gathered = multihost_utils.process_allgather(pad)
-        vals = np.unique(gathered)
-        out.append(tuple(int(v) for v in vals
-                         if v != np.iinfo(np.int64).min))
+        gathered = np.asarray(
+            multihost_utils.process_allgather(pad)).reshape(nproc, max_n)
+        vals = np.unique(np.concatenate(
+            [gathered[p, :int(ns[p])] for p in range(nproc)]))
+        out.append(tuple(int(v) for v in vals))
     return tuple(out)
 
 
