@@ -122,7 +122,7 @@ _KEYWORDS = {
     "values", "drop", "if", "exists", "alter", "column", "set", "default",
     "case", "when", "then", "else", "end", "and", "or", "not", "null",
     "true", "false", "is", "join", "inner", "left", "cross", "on", "using",
-    "cast", "view",
+    "cast", "view", "add",
 }
 
 
@@ -247,6 +247,18 @@ class _Parser:
         self.expect_kw("alter")
         self.expect_kw("table")
         name = self.ident()
+        if self.eat_kw("add"):
+            # ALTER TABLE t ADD COLUMN c TYPE [DEFAULT expr]
+            # (init_baseline's flag columns, partition.cpp:695-703)
+            self.expect_kw("column")
+            col = self.ident()
+            ctype = self.ident()
+            while self.at_op("["):
+                self.expect_op("[")
+                self.expect_op("]")
+                ctype += "[]"
+            default = self.expr() if self.eat_kw("default") else None
+            return ("addcol", name, col, ctype.lower(), default)
         self.expect_kw("alter")
         self.expect_kw("column")
         col = self.ident()
@@ -698,7 +710,15 @@ class Connection:
             self._result, self._columns = [], []
         elif kind == "create_as":
             _, name, sel = stmt
-            self.tables[name] = self._run_select(sel)
+            rel = self._run_select(sel)
+            # materialized tables get BARE column names (DuckDB drops the
+            # `t.` qualifier of star-expanded columns) unless stripping
+            # would collide (e.g. a.x JOIN b.x)
+            bare = [nm.split(".", 1)[1] if "." in nm else nm
+                    for nm in rel.names]
+            if len(set(bare)) == len(bare):
+                rel = Relation(bare, list(rel.cols))
+            self.tables[name] = rel
             self._result, self._columns = [], []
         elif kind == "insert":
             self._run_insert(stmt)
@@ -711,6 +731,8 @@ class Connection:
             self._result, self._columns = [], []
         elif kind == "swap":
             self._run_swap(stmt)
+        elif kind == "addcol":
+            self._run_addcol(stmt)
         else:  # pragma: no cover
             raise SQLError(f"unhandled statement {kind}")
         return self
@@ -778,6 +800,33 @@ class Connection:
                 np.concatenate([col.null, np.asarray(nulls, bool)]),
                 col.kind))
         self.tables[name] = Relation(list(rel.names), new_cols)
+        self._result, self._columns = [], []
+
+    def _run_addcol(self, stmt):
+        """`ALTER TABLE t ADD COLUMN c TYPE [DEFAULT expr]` — the
+        init_baseline flag-column step (partition.cpp:695-703): adds the
+        `<col>_IS_NULL BOOLEAN DEFAULT false` columns that the subsequent
+        rep-swap fills with the real null flags."""
+        _, name, colname, ctype, default = stmt
+        if name not in self.tables:
+            raise SQLError(f"no such table {name}")
+        rel = self.tables[name].copy()
+        k = _KIND_FOR_TYPE.get(ctype.rstrip("[]"), "o")
+        n = rel.n
+        if default is None:
+            newc = _null_to(k, n)
+        else:
+            c = self._eval(default, rel)
+            data = c.data
+            if k == "f":
+                data = data.astype(np.float32)
+            elif k == "i":
+                data = np.asarray(data).astype(np.int64)
+            elif k == "b":
+                data = np.asarray(data).astype(bool)
+            newc = Column(data, c.null.copy(), k)
+        rel.add(colname, newc)
+        self.tables[name] = rel
         self._result, self._columns = [], []
 
     def _run_swap(self, stmt):
