@@ -228,6 +228,42 @@ def test_overlapped_equals_sharded(table):
                                rtol=1e-6, atol=1e-3)
 
 
+def test_overlapped_hlo_has_per_stripe_collectives():
+    """The compiled striped program all-reduces per-stripe
+    [P, P/n_stripes] payloads INSIDE the stripe loop — not one fused
+    [P, P] collective after all compute. This is the structural property
+    that lets the XLA TPU scheduler issue stripe k's collective
+    asynchronously behind stripe k+1's matmuls (the overlap design-intent;
+    multi-chip wall-clock cannot be measured in this 1-chip environment)."""
+    import functools
+    import re
+
+    import jax
+
+    from duckdb_imputation_tpu.parallel.overlap import (
+        _sharded_sigma_overlapped,
+    )
+
+    schema = FeatureSchema(num_cols=2,
+                           cat_keys=(tuple(range(30)), tuple(range(30))))
+    mesh = make_mesh(8)
+    p = schema.sigma_size                      # 63
+    n_stripes = 4
+    width = -(-p // n_stripes)                 # 16
+    n = 8 * 1024
+    x = np.zeros((2, n), np.float32)
+    c = np.zeros((2, n), np.int32)
+    w = np.ones(n, np.float32)
+    txt = jax.jit(functools.partial(
+        _sharded_sigma_overlapped, schema=schema, mesh=mesh,
+        n_stripes=n_stripes, row_chunk=512, axis="data",
+    )).lower(x, c, w).compile().as_text()
+    shapes = re.findall(r"f32\[(\d+),(\d+)\]\{[0-9,]*\} all-reduce", txt)
+    assert shapes, "no all-reduce in compiled module"
+    # every collective is a stripe-sized payload; no [P, P] monolith
+    assert all((int(a), int(b)) == (p, width) for a, b in shapes), shapes
+
+
 def test_overlapped_no_numeric_cols(table):
     from duckdb_imputation_tpu.parallel import sum_to_triple_overlapped
 
