@@ -29,7 +29,7 @@ import time
 
 import numpy as np
 
-N_ROWS = 8_386_560  # 819 blocks of 5*2048 (pack=5 for P=21)
+N_ROWS = 8_355_840  # divisible by v2 pack*chunk (4*8192) and v1/HIGHEST (5*2048)
 
 
 def log(*a):
@@ -44,7 +44,7 @@ def bench_tpu(schema):
 
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
         sigma_pallas,
-        sigma_pallas_fast,
+        sigma_pallas_fast2,
     )
 
     @jax.jit
@@ -65,12 +65,13 @@ def bench_tpu(schema):
 
     @functools.partial(jax.jit, static_argnames=("iters", "fast"))
     def loop(x, c, w, iters: int, fast: bool = True):
-        # masks are binary -> the split-precision fast kernel applies
-        kern = sigma_pallas_fast if fast else sigma_pallas
+        # masks are binary -> the split-precision v2 fast kernel applies
         def body(i, acc):
             # vary the input per iteration so XLA cannot hoist/CSE the
             # kernel out of the loop (would fake the slope measurement)
-            s = kern(x, c, w + 1e-9 * i.astype(jnp.float32), schema=schema)
+            wi = w + 1e-9 * i.astype(jnp.float32)
+            s = (sigma_pallas_fast2(x, c, wi, schema=schema) if fast
+                 else sigma_pallas(x, c, wi, schema=schema))
             return acc + s
         return jax.lax.fori_loop(0, iters, body,
                                  jnp.zeros((p, p), jnp.float32))
@@ -125,13 +126,13 @@ def bench_numeric_4_0(n=1_024_000):
 
     from duckdb_imputation_tpu import FeatureSchema
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
-        _sizing,
-        sigma_pallas_fast,
+        _sizing_fast2,
+        sigma_pallas_fast2,
     )
 
     schema = FeatureSchema(num_cols=4, cat_keys=())
-    pack, _ = _sizing(schema)
-    block = pack * 2048
+    pack = _sizing_fast2(schema)[4]
+    block = pack * 8192
     n = (n // block) * block
 
     key = jax.random.PRNGKey(1)
@@ -143,8 +144,9 @@ def bench_numeric_4_0(n=1_024_000):
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(x, w, iters: int):
         def body(i, acc):
-            s = sigma_pallas_fast(x, None, w + 1e-9 * i.astype(jnp.float32),
-                                  schema=schema)
+            s = sigma_pallas_fast2(x, None,
+                                   w + 1e-9 * i.astype(jnp.float32),
+                                   schema=schema)
             return acc + s
         return jax.lax.fori_loop(0, iters, body,
                                  jnp.zeros((p, p), jnp.float32))
@@ -340,7 +342,7 @@ def bench_mice_round(schema, n=10_000_000):
         xo, co, _ = mice_loop_device(
             xx + 0.0, c + 0, nn, cn, key, schema=schema,
             num_cols_to_impute=(1,), cat_cols_to_impute=(0,),
-            iters=jnp.int32(iters), gd_iters=200)
+            iters=jnp.int32(iters), kernel="pallas_fast")
         return float(np.asarray(xo[1, :4]).sum())
 
     k_lo, k_hi = (10, 210) if n <= 20_000_000 else (3, 23)

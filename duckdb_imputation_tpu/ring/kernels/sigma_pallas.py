@@ -286,9 +286,197 @@ def sigma_pallas_fast(x_num, codes, weights, *, schema: FeatureSchema,
     return sigma.at[1:1 + d, 1:1 + d].add(eecorr)
 
 
+# ---------------------------------------------------------------------------
+# Fast split-precision variant v2: segmented build + single fused MXU pass
+# ---------------------------------------------------------------------------
+
+def _sizing_fast2(schema: FeatureSchema):
+    """(t_pad, vpads, seg_e, p_seg, pack, width) for the v2 layout.
+
+    Per pack segment the packed array holds [zw (t_pad + Σ vpads rows) ‖ ew
+    (t_pad rows, only when there are numeric cols)]: the weighted bf16 Z
+    block followed by its bf16 residual rows, so ONE [width,width] dot
+    yields base Gram + cross correction + residual Gram as sub-blocks of
+    each diagonal segment. EVERY section — the ones+num rows and each cat
+    column's one-hot rows — is its own 8-aligned sublane block, so each
+    build compare touches only its own round_up(size, 8) rows (never the
+    whole vocab block) and needs no cross-column accumulate."""
+    d = schema.num_cols
+    t_pad = _round_up(1 + d, 8)
+    vpads = tuple(_round_up(s, 8) for s in schema.cat_sizes)
+    seg_e = t_pad if d else 0
+    p_seg = t_pad + sum(vpads) + seg_e
+    if p_seg <= LANES:
+        pack = LANES // p_seg
+        width = LANES
+    else:
+        pack = 1
+        width = _round_up(p_seg, LANES)
+    return t_pad, vpads, seg_e, p_seg, pack, width
+
+
+def _sigma_fast2_kernel(x_ref, codes_ref, w_ref, out_ref, *,
+                        schema: FeatureSchema, t_pad: int,
+                        vpads: tuple[int, ...], seg_e: int, p_seg: int,
+                        pack: int, chunk: int, width: int):
+    """v2 split-precision kernel body (binary weights).
+
+    For w∈{0,1}, w² = w, so the weight folds symmetrically into ONE packed
+    array: zw = w·bf16(Z) and ew = bf16(w·Z − f32(bf16(w·Z))) = w·bf16(E).
+    G = arrᵀarr then contains, inside each diagonal p_seg×p_seg block:
+        [ ZbᵀWZb   ZbᵀWE ]
+        [ EᵀWZb    EᵀWE  ]
+    which the epilogue sums into S = ZᵀWZ (same math as sigma_pallas_fast,
+    one MXU pass instead of three, ~2× less VPU build work).
+
+    One-hot build: each cat column is its own 8-aligned block; one compare
+    of the block iota against the column's code row, masked by w.
+    Out-of-vocab codes (encode() maps misses to size_j) are remapped to -1
+    on the [1, chunk] row vector so they contribute 0 (the old kernel's
+    in-segment guard).
+
+    All segments are built in f32 (native (8,128) tiling, so the 8-row
+    pieces concat without relayout) and the full [width, chunk] array is
+    cast to bf16 ONCE — casting 8-row pieces individually forces Mosaic to
+    repack them into (16,128) bf16 tiles, measured ~25% slower."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    d = schema.num_cols
+    sizes = schema.cat_sizes
+    qt = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+
+    segs = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        wrow = w_ref[:, sl]                               # [1, chunk]
+        top = jnp.broadcast_to((qt == 0).astype(jnp.float32),
+                               (t_pad, chunk))
+        for j in range(d):
+            top = top + (qt == 1 + j).astype(jnp.float32) \
+                * x_ref[j, sl][None, :]
+        topw = top * wrow
+        segs.append(topw)
+        for j, size in enumerate(sizes):
+            cj = codes_ref[j, sl][None, :]
+            cadj = jnp.where(cj < size, cj, -1)           # oov -> no hit
+            qj = jax.lax.broadcasted_iota(jnp.int32, (vpads[j], 1), 0)
+            segs.append((qj == cadj).astype(jnp.float32) * wrow)
+        if seg_e:
+            segs.append(topw - topw.astype(jnp.bfloat16).astype(jnp.float32))
+    if pack * p_seg < width:
+        segs.append(jnp.zeros((width - pack * p_seg, chunk), jnp.float32))
+    arr = jnp.concatenate(segs, axis=0).astype(jnp.bfloat16) \
+        if len(segs) > 1 else segs[0].astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        arr, arr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "chunk_cols"))
+def sigma_pallas_fast2(x_num, codes, weights, *, schema: FeatureSchema,
+                       chunk_cols: int = 8192) -> jax.Array:
+    """v2 split-precision masked sigma for BINARY weights. Same semantics
+    as sigma_pallas_fast (identical split-precision math, f32 accumulation
+    order differs); single fused MXU pass. n must be a multiple of
+    pack*chunk_cols (pack from _sizing_fast2)."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = x_num.shape[-1] if d else codes.shape[-1]
+    p = schema.sigma_size
+    t_pad, vpads, seg_e, p_seg, pack, width = _sizing_fast2(schema)
+    block = pack * chunk_cols
+    assert n % block == 0, (n, block)
+
+    x_in = (jnp.asarray(x_num, jnp.float32) if d
+            else jnp.zeros((1, n), jnp.float32))
+    c_in = (jnp.asarray(codes, jnp.int32) if c
+            else jnp.zeros((1, n), jnp.int32))
+    w_in = jnp.asarray(weights, jnp.float32).reshape(1, n)
+
+    out = pl.pallas_call(
+        functools.partial(_sigma_fast2_kernel, schema=schema, t_pad=t_pad,
+                          vpads=vpads, seg_e=seg_e, p_seg=p_seg, pack=pack,
+                          chunk=chunk_cols, width=width),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((max(d, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((width, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((width, width), jnp.float32),
+    )(x_in, c_in, w_in)
+
+    # sigma row -> kernel row: top rows in place, then each cat column's
+    # values at its 8-aligned block start
+    parts = [np.arange(1 + d)]
+    row = t_pad
+    for j, size in enumerate(schema.cat_sizes):
+        parts.append(row + np.arange(size))
+        row += vpads[j]
+    idx = jnp.asarray(np.concatenate(parts).astype(np.int32))
+    sigma = jnp.zeros((p, p), jnp.float32)
+    corr = jnp.zeros((p, p), jnp.float32)
+    ee = jnp.zeros((1 + d, 1 + d), jnp.float32)
+    zoff = t_pad + sum(vpads)
+    for k in range(pack):
+        base = k * p_seg
+        sigma = sigma + out[jnp.ix_(base + idx, base + idx)]
+        if seg_e:
+            corr = corr.at[:1 + d, :].add(
+                out[base + zoff:base + zoff + 1 + d][:, base + idx])
+            ee = ee + out[base + zoff:base + zoff + 1 + d,
+                          base + zoff:base + zoff + 1 + d]
+    if seg_e:
+        sigma = sigma + corr + corr.T
+        sigma = sigma.at[:1 + d, :1 + d].add(ee)
+    return sigma
+
+
+def sigma_pallas_fast2_padded(x_num, codes, weights, *,
+                              schema: FeatureSchema,
+                              chunk_cols: int = 8192) -> jax.Array:
+    """Zero-weight pad n up to a v2 block multiple."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = x_num.shape[-1] if d else codes.shape[-1]
+    pack = _sizing_fast2(schema)[4]
+    block = pack * chunk_cols
+    pad = (-n) % block
+    if pad:
+        if d:
+            x_num = jnp.pad(jnp.asarray(x_num, jnp.float32),
+                            ((0, 0), (0, pad)))
+        if c:
+            codes = jnp.pad(jnp.asarray(codes, jnp.int32), ((0, 0), (0, pad)))
+        w = (jnp.ones((n,), jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+        weights = jnp.pad(w, (0, pad))
+    elif weights is None:
+        weights = jnp.ones((n,), jnp.float32)
+    return sigma_pallas_fast2(x_num, codes, weights, schema=schema,
+                              chunk_cols=chunk_cols)
+
+
 def sigma_pallas_fast_padded(x_num, codes, weights, *,
                              schema: FeatureSchema,
-                             chunk_cols: int = 2048) -> jax.Array:
+                             chunk_cols: int | None = None) -> jax.Array:
+    """Split-precision masked sigma for BINARY weights, any n. Dispatches
+    to the v2 single-pass kernel when the schema's v2 segment fits the 128
+    sublanes (17.8 G rows/s measured vs 6.3 G for v1 on the headline
+    config); wide schemas fall back to the v1 three-output kernel, whose
+    packing does not pay v2's per-section 8-row padding."""
+    if _sizing_fast2(schema)[3] <= LANES:
+        return sigma_pallas_fast2_padded(x_num, codes, weights,
+                                         schema=schema,
+                                         chunk_cols=chunk_cols or 8192)
+    chunk_cols = chunk_cols or 2048
     d, c = schema.num_cols, schema.cat_cols
     n = x_num.shape[-1] if d else codes.shape[-1]
     pack, _ = _sizing(schema)

@@ -68,6 +68,49 @@ def test_sigma_pallas_fast_odd_sizes():
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=0.3)
 
 
+def test_sigma_pallas_fast2_oov_codes(data):
+    """v2 kernel: out-of-vocab codes (encode() maps misses to size_j) and
+    negative codes contribute nothing — they must not alias the next
+    column's first category (the v2 build compares offs+code directly)."""
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        sigma_pallas_fast2_padded,
+    )
+    num, codes, w, schema = data
+    codes = codes.copy()
+    codes[0, :500] = 8    # = size_0: encode() miss convention
+    codes[1, 500:900] = -1
+    ref = np.asarray(masked_sigma(num, codes, w, schema=schema))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sigma_pallas_fast2_padded(num, codes, w,
+                                                   schema=schema,
+                                                   chunk_cols=2048))
+    assert got[0, 0] == ref[0, 0]
+    np.testing.assert_array_equal(got[0, 5:], ref[0, 5:])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=0.3)
+
+
+def test_sigma_pallas_fast_padded_wide_schema_fallback():
+    """A schema whose v2 segment exceeds the 128 sublanes must fall back to
+    the v1 kernel through the public padded wrapper, with equal semantics."""
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        _sizing_fast2,
+        sigma_pallas_fast_padded,
+    )
+    rng = np.random.default_rng(8)
+    n = 3000
+    schema = FeatureSchema(num_cols=4, cat_keys=(tuple(range(120)),))
+    assert _sizing_fast2(schema)[3] > 128  # v2 segment does not fit
+    num = rng.normal(size=(4, n)).astype(np.float32)
+    codes = rng.integers(0, 120, size=(1, n)).astype(np.int32)
+    w = (rng.random(n) > 0.4).astype(np.float32)
+    ref = np.asarray(masked_sigma(num, codes, w, schema=schema))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sigma_pallas_fast_padded(num, codes, w,
+                                                  schema=schema))
+    assert got[0, 0] == ref[0, 0]
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=0.3)
+
+
 def test_nb_pallas_grouped_interpret(data):
     """Streaming NB grouped kernel (both precision variants) matches the
     XLA segment-sum path; counts exact."""
