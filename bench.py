@@ -345,7 +345,10 @@ def bench_mice_round(schema, n=10_000_000):
             iters=jnp.int32(iters), kernel="pallas_fast")
         return float(np.asarray(xo[1, :4]).sum())
 
-    k_lo, k_hi = (10, 210) if n <= 20_000_000 else (3, 23)
+    # k_hi - k_lo must be large enough that the round signal dominates the
+    # ~100 ms RPC jitter of this environment (20 x 26 ms was marginal and
+    # produced nonsense readings; 30 rounds @100M is ~0.8 s of signal)
+    k_lo, k_hi = (10, 210) if n <= 20_000_000 else (12, 42)
     run(1, x)                                   # compile
     t0 = time.perf_counter(); run(k_lo, x * 1.000001)
     d1 = time.perf_counter() - t0

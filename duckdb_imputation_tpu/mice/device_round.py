@@ -8,14 +8,31 @@ batched predict → masked write-back — into one compiled program
 (`mice_round_device`), and `run_mice_device` runs all rounds inside a single
 lax.fori_loop: the whole MICE loop is ONE dispatch.
 
+COLUMNAR CARRY: inside the loops the table is a TUPLE of per-column [n]
+arrays, not a stacked [d, n] block (SURVEY §7.1's "pytree of device arrays,
+one per column", taken literally). A stacked block in a lax loop carry
+makes every single-column write-back a dynamic-update-slice that XLA
+cannot keep in place — measured 70 GB/s vs 658 GB/s for the per-column
+carry at 100M rows. The Pallas aggregation kernel takes the tuples
+directly as per-column refs (sigma_pallas_fast2_cols), so the stacked
+block never exists anywhere in the round.
+
 Training inside jit:
-  * continuous columns: the reference's GD loop as lax.while_loop
-    (models/device.linreg_train_device);
+  * continuous columns: a direct normal-equations lstsq on the P×P sigma
+    (trainer='solve', default) or the reference's GD loop as lax.while_loop
+    (trainer='gd', models/device.linreg_train_device);
   * categorical columns: device LDA — label-excluded sigma gathers (static
     index sets), class sums pulled from the triple's own categorical
     sections, pooled covariance + shrinkage, lstsq solve (SVD-backed,
     jittable), argmax predict. f32 on-device (the host f64 trainers remain
     the parity reference).
+
+Prediction never materializes the [P, n] feature block: numeric
+contributions are direct multiply-adds on the column arrays and
+categorical contributions compare-select against each (small) vocab
+(ring.sum.linear_predict / class_argmax) — one fused bandwidth-bound pass
+over the rows, the batched fix of the reference's row-at-a-time predict
+loops (regression.cpp:456-491, lda.cpp:511-577).
 
 Noise for stochastic regression uses a per-(round, column) fold of the
 PRNG key.
@@ -29,15 +46,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..schema import FeatureSchema
-from ..ring.sum import _zt_block, masked_sigma
+from ..ring.sum import _stack_cols, class_argmax, linear_predict, masked_sigma
 from ..models.device import linreg_solve_device, linreg_train_device
 from ..table.table import Table
-
-
-# Rows per predict/write-back chunk: bounds the transient Z block to
-# [P, chunk] so a 100M-row table never materializes a [P, n] feature
-# matrix (SURVEY.md §7 hard part 6 — write-back without 2× memory).
-PREDICT_ROW_CHUNK = 1 << 21
 
 
 def _row_noise(key, gidx):
@@ -51,42 +62,6 @@ def _row_noise(key, gidx):
         lambda j: jax.random.normal(jax.random.fold_in(key, j)))(gidx)
 
 
-def _chunked_writeback(x_num, codes, null_row, col, compute_pred,
-                       target: str):
-    """Stream predict + masked column write-back over row chunks.
-
-    compute_pred(x_chunk, codes_chunk, start) -> pred [chunk] (start = the
-    chunk's local row offset, for global-index noise keying). The written
-    column never feeds its own prediction (label coefficient zeroed / label
-    one-hot excluded), so the overlapping tail chunk is idempotent."""
-    n = x_num.shape[-1]
-    rc = min(PREDICT_ROW_CHUNK, n)
-    nc = -(-n // rc)
-
-    def body(i, carry):
-        x, c = carry
-        start = jnp.minimum(i * rc, n - rc)
-        xs = jax.lax.dynamic_slice(x, (0, start), (x.shape[0], rc)) \
-            if x.shape[0] else x[:, :rc]
-        cs = jax.lax.dynamic_slice(c, (0, start), (c.shape[0], rc)) \
-            if c.shape[0] else c[:, :rc]
-        pred = compute_pred(xs, cs, start)
-        nulls = jax.lax.dynamic_slice(null_row, (start,), (rc,))
-        if target == "num":
-            old = jax.lax.dynamic_slice(x, (col, start), (1, rc))[0]
-            new = jnp.where(nulls, pred, old)
-            x = jax.lax.dynamic_update_slice(x, new[None, :], (col, start))
-        else:
-            old = jax.lax.dynamic_slice(c, (col, start), (1, rc))[0]
-            new = jnp.where(nulls, pred.astype(c.dtype), old)
-            c = jax.lax.dynamic_update_slice(c, new[None, :], (col, start))
-        return x, c
-
-    if nc == 1:
-        return body(0, (x_num, codes))
-    return jax.lax.fori_loop(0, nc, body, (x_num, codes))
-
-
 def _lda_device(sigma: jax.Array, schema: FeatureSchema, label: int,
                 shrinkage: float):
     """Device LDA from the full sigma: returns (W [m, C], intercept [C],
@@ -95,7 +70,6 @@ def _lda_device(sigma: jax.Array, schema: FeatureSchema, label: int,
     offs = schema.offsets
     lab_lo = 1 + d + offs[label]
     lab_hi = 1 + d + offs[label + 1]
-    n_classes = offs[label + 1] - offs[label]
     keep = np.asarray(
         [i for i in range(schema.sigma_size)
          if not (lab_lo <= i < lab_hi)], np.int32)
@@ -124,42 +98,48 @@ def _lda_device(sigma: jax.Array, schema: FeatureSchema, label: int,
     return w, intercept, keep
 
 
-def _round_columns(x_num, codes, num_null, cat_null, *,
+def _w_full(w, keep, schema: FeatureSchema):
+    """Scatter LDA coefficients back to full sigma layout: excluded rows
+    (ones + the label's own one-hot block) get zero coefficients, so the
+    fused predict never needs a keep-index view of the features."""
+    return jnp.zeros((schema.sigma_size, w.shape[1]),
+                     w.dtype).at[jnp.asarray(keep[1:])].set(w)
+
+
+def _round_columns(x_cols, code_cols, num_null, cat_null, *,
                    schema: FeatureSchema,
                    num_cols_to_impute: tuple[int, ...],
                    cat_cols_to_impute: tuple[int, ...],
                    agg, gd_iters: int, lda_shrinkage: float,
                    noise_key_for, trainer: str = "solve", row_offset=0):
     """One MICE round's per-column body, shared by the single-device and
-    sharded loops. `agg(x, c, null_row) -> sigma` abstracts how the
-    aggregate is produced (device-local kernel vs psum-combined shard_map);
-    `noise_key_for(col) -> key | None` abstracts the noise keying (None ⇒
-    deterministic prediction); `row_offset` is this shard's global row
-    offset so noise draws are keyed by GLOBAL row index (mesh-shape
-    invariant). Categorical columns first — the reference's ordering
-    (imputation_base.cpp:18-87).
+    sharded loops. x_cols/code_cols are TUPLES of per-column [n] arrays
+    (see module docstring). `agg(x_cols, code_cols, null_row) -> sigma`
+    abstracts how the aggregate is produced (device-local kernel vs
+    psum-combined shard_map); `noise_key_for(col) -> key | None` abstracts
+    the noise keying (None ⇒ deterministic prediction); `row_offset` is
+    this shard's global row offset so noise draws are keyed by GLOBAL row
+    index (mesh-shape invariant). Categorical columns first — the
+    reference's ordering (imputation_base.cpp:18-87).
 
     trainer: 'solve' (default) — ONE lstsq on the P×P sigma per column;
     'gd' — the reference's sequential GD (regression.cpp:157-238) as a
     lax.while_loop, kept for iteration-parity studies. On TPU the GD path
     is pure dispatch latency (hundreds of dependent tiny matvecs), so the
     direct solve is the production trainer."""
+    x_cols = tuple(x_cols)
+    code_cols = tuple(code_cols)
     for col in cat_cols_to_impute:
-        sigma = agg(x_num, codes, cat_null[col])
+        sigma = agg(x_cols, code_cols, cat_null[col])
         w, intercept, keep = _lda_device(sigma, schema, col, lda_shrinkage)
-        keep_feats = jnp.asarray(keep[1:])
-
-        def lda_pred(xs, cs, i, w=w, intercept=intercept,
-                     keep_feats=keep_feats):
-            zt = _zt_block(xs, cs, schema)
-            scores = w.T @ zt[keep_feats] + intercept[:, None]  # [C, rc]
-            return jnp.argmax(scores, axis=0)
-
-        x_num, codes = _chunked_writeback(
-            x_num, codes, cat_null[col], col, lda_pred, "cat")
+        pred = class_argmax(_w_full(w, keep, schema), intercept,
+                            x_cols, code_cols, schema=schema)
+        old = code_cols[col]
+        new = jnp.where(cat_null[col], pred.astype(old.dtype), old)
+        code_cols = code_cols[:col] + (new,) + code_cols[col + 1:]
 
     for col in num_cols_to_impute:
-        sigma = agg(x_num, codes, num_null[col])
+        sigma = agg(x_cols, code_cols, num_null[col])
         if trainer == "solve":
             coeff = linreg_solve_device(sigma, label=col + 1)
         else:
@@ -167,39 +147,79 @@ def _round_columns(x_num, codes, num_null, cat_null, *,
                                         max_iters=gd_iters)
         theta = coeff * (1.0 - jax.nn.one_hot(col + 1, coeff.shape[0],
                                               dtype=coeff.dtype))
+        pred = linear_predict(theta, x_cols, code_cols, schema=schema)
         nkey = noise_key_for(col)
         if nkey is not None:
             theta_full = coeff.at[col + 1].set(-1.0)
             var = (theta_full @ sigma @ theta_full
                    / jnp.maximum(sigma[0, 0], 1.0))
             std = jnp.sqrt(jnp.maximum(var, 0.0))
-        else:
-            std = None
+            gidx = row_offset + jnp.arange(pred.shape[0])
+            pred = pred + std * _row_noise(nkey, gidx)
+        old = x_cols[col]
+        new = jnp.where(num_null[col], pred, old)
+        x_cols = x_cols[:col] + (new,) + x_cols[col + 1:]
 
-        def lin_pred(xs, cs, start, theta=theta, std=std, nkey=nkey):
-            pred = theta @ _zt_block(xs, cs, schema)
-            if std is not None:
-                gidx = row_offset + start + jnp.arange(pred.shape[0])
-                pred = pred + std * _row_noise(nkey, gidx)
-            return pred
-
-        x_num, codes = _chunked_writeback(
-            x_num, codes, num_null[col], col, lin_pred, "num")
-
-    return x_num, codes
+    return x_cols, code_cols
 
 
 def _make_agg(kernel: str, schema: FeatureSchema):
-    """null-row mask → masked sigma via the chosen kernel."""
+    """(x_cols, code_cols, null_row) → masked sigma via the chosen kernel,
+    fed by the per-column tuples directly (no stacking on the Pallas
+    path)."""
     if kernel == "pallas_fast":
-        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_padded
-        base = functools.partial(sigma_pallas_fast_padded, schema=schema)
-    else:
-        base = functools.partial(masked_sigma, schema=schema)
+        from ..ring.kernels.sigma_pallas import sigma_pallas_fast2_cols_padded
 
-    def agg(x, c, null_row):
-        return base(x, c, 1.0 - null_row.astype(jnp.float32))
+        def agg(x_cols, code_cols, null_row):
+            return sigma_pallas_fast2_cols_padded(
+                x_cols, code_cols, 1.0 - null_row.astype(jnp.float32),
+                schema=schema)
+    else:
+        def agg(x_cols, code_cols, null_row):
+            x, c = _stack_cols(x_cols, code_cols, schema)
+            return masked_sigma(x, c, 1.0 - null_row.astype(jnp.float32),
+                                schema=schema)
     return agg
+
+
+def _to_cols(x_num, codes, schema: FeatureSchema):
+    return (tuple(x_num[j] for j in range(schema.num_cols)),
+            tuple(codes[j] for j in range(schema.cat_cols)))
+
+
+def _kernel_block(kernel: str, schema: FeatureSchema) -> int:
+    """Row-count granule of the chosen aggregation kernel (1 for XLA)."""
+    if kernel != "pallas_fast":
+        return 1
+    from ..ring.kernels.sigma_pallas import _sizing_fast2
+    return _sizing_fast2(schema)[4] * 8192
+
+
+def _kernel_pad(kernel: str, schema: FeatureSchema, n: int) -> int:
+    """Row padding that makes every per-round aggregation a no-pad kernel
+    call. jnp.pad inside the round loop is NOT loop-invariant-hoisted by
+    XLA (the padded operand is the loop carry), so without this each
+    aggregation pays a full-table copy."""
+    return (-n) % _kernel_block(kernel, schema)
+
+
+def _pad_cols_nulls(x_cols, code_cols, num_null, cat_null, pad):
+    """Zero-pad the column tuples and TRUE-pad the null masks (pad rows
+    are 'null': weight 0 in every aggregate, overwritten by predictions,
+    sliced off at exit)."""
+    x_cols = tuple(jnp.pad(a, (0, pad)) for a in x_cols)
+    code_cols = tuple(jnp.pad(a, (0, pad)) for a in code_cols)
+    num_null = jnp.pad(num_null, ((0, 0), (0, pad)), constant_values=True)
+    cat_null = jnp.pad(cat_null, ((0, 0), (0, pad)), constant_values=True)
+    return x_cols, code_cols, num_null, cat_null
+
+
+def _from_cols(x_cols, code_cols, schema: FeatureSchema, n):
+    x = (jnp.stack(x_cols) if schema.num_cols
+         else jnp.zeros((0, n), jnp.float32))
+    c = (jnp.stack(code_cols) if schema.cat_cols
+         else jnp.zeros((0, n), jnp.int32))
+    return x, c
 
 
 @functools.partial(
@@ -218,13 +238,15 @@ def mice_round_device(x_num, codes, num_null, cat_null, key, *,
     split-precision MXU kernel (TPU; masks here are binary)."""
     noise_key_for = ((lambda col: jax.random.fold_in(key, col)) if noise
                      else (lambda col: None))
-    x_num, codes = _round_columns(
-        x_num, codes, num_null, cat_null, schema=schema,
+    x_cols, code_cols = _to_cols(x_num, codes, schema)
+    x_cols, code_cols = _round_columns(
+        x_cols, code_cols, num_null, cat_null, schema=schema,
         num_cols_to_impute=num_cols_to_impute,
         cat_cols_to_impute=cat_cols_to_impute,
         agg=_make_agg(kernel, schema), gd_iters=gd_iters,
         lda_shrinkage=lda_shrinkage, noise_key_for=noise_key_for,
         trainer=trainer)
+    x_num, codes = _from_cols(x_cols, code_cols, schema, x_num.shape[-1])
     return x_num, codes, jax.random.fold_in(key, 2 ** 20)
 
 
@@ -240,17 +262,36 @@ def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
                      iters, gd_iters: int = 500,
                      lda_shrinkage: float = 0.001, noise: bool = False,
                      kernel: str = "xla", trainer: str = "solve"):
-    """The WHOLE MICE loop in one dispatch: lax.fori_loop over rounds.
+    """The WHOLE MICE loop in one dispatch: lax.fori_loop over rounds with
+    the columnar tuple carry (un/re-stacked once at the jit boundary).
     `iters` may be a traced scalar — one compile serves any round count."""
-    def body(_, carry):
-        x, c, k = carry
-        return mice_round_device(
-            x, c, num_null, cat_null, k, schema=schema,
+    agg = _make_agg(kernel, schema)
+    n = num_null.shape[-1]
+    pad = _kernel_pad(kernel, schema, n)
+
+    def body(r, carry):
+        x_cols, code_cols, k = carry
+        noise_key_for = ((lambda col: jax.random.fold_in(k, col)) if noise
+                         else (lambda col: None))
+        x_cols, code_cols = _round_columns(
+            x_cols, code_cols, num_null, cat_null, schema=schema,
             num_cols_to_impute=num_cols_to_impute,
-            cat_cols_to_impute=cat_cols_to_impute,
-            gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
-            kernel=kernel, trainer=trainer)
-    return jax.lax.fori_loop(0, iters, body, (x_num, codes, key))
+            cat_cols_to_impute=cat_cols_to_impute, agg=agg,
+            gd_iters=gd_iters, lda_shrinkage=lda_shrinkage,
+            noise_key_for=noise_key_for, trainer=trainer)
+        return x_cols, code_cols, jax.random.fold_in(k, 2 ** 20)
+
+    x_cols, code_cols = _to_cols(x_num, codes, schema)
+    if pad:
+        x_cols, code_cols, num_null, cat_null = _pad_cols_nulls(
+            x_cols, code_cols, num_null, cat_null, pad)
+    x_cols, code_cols, key = jax.lax.fori_loop(
+        0, iters, body, (x_cols, code_cols, key))
+    if pad:
+        x_cols = tuple(a[:n] for a in x_cols)
+        code_cols = tuple(a[:n] for a in code_cols)
+    x_num, codes = _from_cols(x_cols, code_cols, schema, n)
+    return x_num, codes, key
 
 
 def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
@@ -289,61 +330,76 @@ def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
 
 
 def _make_delta_agg(kernel: str, schema: FeatureSchema):
+    """(x_cols, code_cols, weights) → sigma for the delta loops (weights
+    are the validity mask of the gathered dirty rows)."""
     if kernel == "pallas_fast":
-        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_padded
-        return functools.partial(sigma_pallas_fast_padded, schema=schema)
-    return functools.partial(masked_sigma, schema=schema)
+        from ..ring.kernels.sigma_pallas import sigma_pallas_fast2_cols_padded
+        return functools.partial(sigma_pallas_fast2_cols_padded,
+                                 schema=schema)
+
+    def agg(x_cols, code_cols, weights):
+        x, c = _stack_cols(x_cols, code_cols, schema)
+        return masked_sigma(x, c, weights, schema=schema)
+    return agg
 
 
-def _delta_round_columns(x, c, k, full, num_dirty_idx, cat_dirty_idx, *,
-                         schema: FeatureSchema,
+def _delta_round_columns(x_cols, code_cols, k, full, num_dirty_idx,
+                         cat_dirty_idx, *, schema: FeatureSchema,
                          num_cols_to_impute: tuple[int, ...],
                          cat_cols_to_impute: tuple[int, ...],
                          agg, combine, gd_iters: int, lda_shrinkage: float,
                          noise: bool, trainer: str, row_offset=0):
     """One delta-MICE round (imputation_low.cpp:42-110 algebra), shared by
-    the single-device and sharded loops. `agg` produces a LOCAL sigma from
-    gathered rows; `combine` merges partials across devices (identity
-    single-device, lax.psum in the shard_map loop). `full`/`train` are
-    replicated under combine=psum; gathers and write-backs stay
-    shard-local. `k` must already be folded per round; noise draws are
-    keyed by (k, col, GLOBAL row index = row_offset + local idx) so
-    stochastic results are identical for any mesh shape or dirty-row
-    padding."""
-    def delta_sigma(xx, cc, idx, valid):
-        return combine(agg(xx[:, idx], cc[:, idx], valid))
+    the single-device and sharded loops, columnar tuple carry. `agg`
+    produces a LOCAL sigma from gathered rows; `combine` merges partials
+    across devices (identity single-device, lax.psum in the shard_map
+    loop). `full`/`train` are replicated under combine=psum; gathers and
+    write-backs stay shard-local. `k` must already be folded per round;
+    noise draws are keyed by (k, col, GLOBAL row index = row_offset +
+    local idx) so stochastic results are identical for any mesh shape or
+    dirty-row padding."""
+    x_cols = tuple(x_cols)
+    code_cols = tuple(code_cols)
+
+    def delta_sigma(xc, cc, idx, valid):
+        return combine(agg(tuple(a[idx] for a in xc),
+                           tuple(a[idx] for a in cc), valid))
 
     for ci, col in enumerate(cat_cols_to_impute):
         idx, valid = cat_dirty_idx[ci]
-        delta = delta_sigma(x, c, idx, valid)
+        delta = delta_sigma(x_cols, code_cols, idx, valid)
         train = full - delta
         w, intercept, keep = _lda_device(train, schema, col,
                                          lda_shrinkage)
-        zt = _zt_block(x[:, idx], c[:, idx], schema)
-        feats = zt[jnp.asarray(keep[1:])]
-        scores = w.T @ feats + intercept[:, None]
-        pred_code = jnp.argmax(scores, axis=0).astype(c.dtype)
-        old = c[col, idx]
+        pred_code = class_argmax(
+            _w_full(w, keep, schema), intercept,
+            tuple(a[idx] for a in x_cols),
+            tuple(a[idx] for a in code_cols), schema=schema)
+        old_col = code_cols[col]
+        old = old_col[idx]
         # scatter-ADD form: zero-padded gather indices all alias row 0
         # and contribute exactly 0, so a real dirty row 0 can never race
         # the pad writes (duplicate-index scatter order is undefined)
-        c = c.at[col, idx].add(
-            (valid > 0).astype(c.dtype) * (pred_code - old))
-        full = train + delta_sigma(x, c, idx, valid)
+        new_col = old_col.at[idx].add(
+            (valid > 0).astype(old_col.dtype)
+            * (pred_code.astype(old_col.dtype) - old))
+        code_cols = code_cols[:col] + (new_col,) + code_cols[col + 1:]
+        full = train + delta_sigma(x_cols, code_cols, idx, valid)
 
     for ci, col in enumerate(num_cols_to_impute):
         idx, valid = num_dirty_idx[ci]
-        delta = delta_sigma(x, c, idx, valid)
+        delta = delta_sigma(x_cols, code_cols, idx, valid)
         train = full - delta
         if trainer == "solve":
             coeff = linreg_solve_device(train, label=col + 1)
         else:
             coeff = linreg_train_device(train, label=col + 1,
                                         max_iters=gd_iters)
-        zt = _zt_block(x[:, idx], c[:, idx], schema)
         theta = coeff * (1.0 - jax.nn.one_hot(
             col + 1, coeff.shape[0], dtype=coeff.dtype))
-        pred = theta @ zt
+        pred = linear_predict(theta, tuple(a[idx] for a in x_cols),
+                              tuple(a[idx] for a in code_cols),
+                              schema=schema)
         if noise:
             nkey = jax.random.fold_in(k, col)
             theta_full = coeff.at[col + 1].set(-1.0)
@@ -351,10 +407,12 @@ def _delta_round_columns(x, c, k, full, num_dirty_idx, cat_dirty_idx, *,
                    / jnp.maximum(train[0, 0], 1.0))
             pred = pred + jnp.sqrt(jnp.maximum(var, 0.0)) \
                 * _row_noise(nkey, row_offset + idx)
-        old = x[col, idx]
-        x = x.at[col, idx].add(valid * (pred - old))   # see cat note
-        full = train + delta_sigma(x, c, idx, valid)
-    return x, c, k, full
+        old_col = x_cols[col]
+        old = old_col[idx]
+        new_col = old_col.at[idx].add(valid * (pred - old))  # see cat note
+        x_cols = x_cols[:col] + (new_col,) + x_cols[col + 1:]
+        full = train + delta_sigma(x_cols, code_cols, idx, valid)
+    return x_cols, code_cols, k, full
 
 
 @functools.partial(
@@ -383,23 +441,25 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
     valid f32[k_pad]) — the dirty-row gathers, zero-padded (static shapes).
     Work per round: O(Σ dirty) instead of O(C·n)."""
     agg = _make_delta_agg(kernel, schema)
-    n = x_num.shape[-1]
-    full0 = agg(x_num, codes, jnp.ones((n,), jnp.float32))
+    n = x_num.shape[-1] if schema.num_cols else codes.shape[-1]
+    x_cols0, code_cols0 = _to_cols(x_num, codes, schema)
+    full0 = agg(x_cols0, code_cols0, jnp.ones((n,), jnp.float32))
 
     def body(r, carry):
-        x, c, k, full = carry
-        x, c, _, full = _delta_round_columns(
-            x, c, jax.random.fold_in(k, r), full, num_dirty_idx,
-            cat_dirty_idx, schema=schema,
+        x_cols, code_cols, k, full = carry
+        x_cols, code_cols, _, full = _delta_round_columns(
+            x_cols, code_cols, jax.random.fold_in(k, r), full,
+            num_dirty_idx, cat_dirty_idx, schema=schema,
             num_cols_to_impute=num_cols_to_impute,
             cat_cols_to_impute=cat_cols_to_impute, agg=agg,
             combine=lambda s: s, gd_iters=gd_iters,
             lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer)
-        return x, c, k, full
+        return x_cols, code_cols, k, full
 
-    x, c, k, _ = jax.lax.fori_loop(0, iters, body,
-                                   (x_num, codes, key, full0))
-    return x, c, k
+    x_cols, code_cols, k, _ = jax.lax.fori_loop(
+        0, iters, body, (x_cols0, code_cols0, key, full0))
+    x_num, codes = _from_cols(x_cols, code_cols, schema, n)
+    return x_num, codes, k
 
 
 def run_mice_device_delta(t: Table, num_null_cols=None, cat_null_cols=None,
@@ -427,9 +487,12 @@ def run_mice_device_delta(t: Table, num_null_cols=None, cat_null_cols=None,
                   if (jax.default_backend() not in ("cpu",)
                       and t.n_rows >= (1 << 20)) else "xla")
 
+    blk = _kernel_block(kernel, schema)
+
     def gather(idx):
         size = max(len(idx), 1)
         bucket = 1 << (size - 1).bit_length()
+        bucket = -(-bucket // blk) * blk   # kernel-aligned: no per-agg pad
         pad_idx = np.pad(np.asarray(idx, np.int64), (0, bucket - len(idx)))
         valid = (np.arange(bucket) < len(idx)).astype(np.float32)
         return jnp.asarray(pad_idx), jnp.asarray(valid)

@@ -40,27 +40,30 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..ring.sum import masked_sigma
 from ..schema import FeatureSchema
 from ..table.table import Table
-from .device_round import _round_columns
+from .device_round import _from_cols, _make_agg, _round_columns, _to_cols
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "mesh", "num_cols_to_impute",
                      "cat_cols_to_impute", "gd_iters", "lda_shrinkage",
-                     "noise", "axis", "trainer"))
+                     "noise", "axis", "trainer", "kernel"))
 def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
                       schema: FeatureSchema, mesh,
                       num_cols_to_impute: tuple[int, ...],
                       cat_cols_to_impute: tuple[int, ...],
                       iters, gd_iters: int = 500,
                       lda_shrinkage: float = 0.001, noise: bool = False,
-                      axis: str = "data", trainer: str = "solve"):
+                      axis: str = "data", trainer: str = "solve",
+                      kernel: str = "xla"):
     """The whole sharded MICE loop in one dispatch. Arrays features-first,
     row axis sharded over `axis`; `valid` is f32[n] 1/0 (zero-weight row
-    padding). `iters` may be traced."""
+    padding). `iters` may be traced. Inside the shard the table is the
+    columnar tuple carry (see device_round module docstring);
+    kernel='pallas_fast' feeds the tuples straight into the per-column-ref
+    MXU kernel."""
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -69,32 +72,36 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
         out_specs=(P(None, axis), P(None, axis)),
     )
     def local(x, c, nn, cn, val, k):
-        def agg(xx, cc, null_row):
-            w_mask = val * (1.0 - null_row.astype(jnp.float32))
-            return jax.lax.psum(
-                masked_sigma(xx, cc, w_mask, schema=schema), axis)
+        base_agg = _make_agg(kernel, schema)
+        invalid = val == 0.0
+
+        def agg(x_cols, code_cols, null_row):
+            # pad rows fold into the mask: w = valid * (1 - null)
+            local_sigma = base_agg(x_cols, code_cols,
+                                   jnp.logical_or(null_row, invalid))
+            return jax.lax.psum(local_sigma, axis)
 
         # noise is keyed by (round, column, GLOBAL row index) — no shard
         # fold — so stochastic results are identical for any device count
         row_offset = jax.lax.axis_index(axis) * x.shape[-1]
 
         def one_round(r, carry):
-            x, c = carry
+            x_cols, code_cols = carry
             if noise:
                 noise_key_for = (
                     lambda col: jax.random.fold_in(k, r * 131 + col))
             else:
                 noise_key_for = lambda col: None
             return _round_columns(
-                x, c, nn, cn, schema=schema,
+                x_cols, code_cols, nn, cn, schema=schema,
                 num_cols_to_impute=num_cols_to_impute,
                 cat_cols_to_impute=cat_cols_to_impute, agg=agg,
                 gd_iters=gd_iters, lda_shrinkage=lda_shrinkage,
                 noise_key_for=noise_key_for, trainer=trainer,
                 row_offset=row_offset)
 
-        x_out, c_out = jax.lax.fori_loop(0, iters, one_round, (x, c))
-        return x_out, c_out
+        cols = jax.lax.fori_loop(0, iters, one_round, _to_cols(x, c, schema))
+        return _from_cols(*cols, schema, x.shape[-1])
 
     return local(x_num, codes, num_null, cat_null, valid, key)
 
@@ -103,7 +110,7 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
                      iters: int = 5, *, mesh=None, gd_iters: int = 500,
                      lda_shrinkage: float = 0.001, noise: bool = False,
                      seed: int = 0, axis: str = "data",
-                     trainer: str = "solve") -> Table:
+                     trainer: str = "solve", kernel: str = "auto") -> Table:
     """Host wrapper: mean/mode init, zero-weight row padding to the mesh
     size, sharded placement, one dispatch, unpad."""
     from ..parallel.mesh import make_mesh
@@ -114,7 +121,13 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
     mesh = mesh or make_mesh()
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     n = t.n_rows
-    pad = (-n) % ndev
+    if kernel == "auto":
+        kernel = ("pallas_fast"
+                  if (jax.default_backend() not in ("cpu",)
+                      and n // ndev >= (1 << 20)) else "xla")
+    from .device_round import _kernel_block
+    # shard-local rows kernel-aligned: per-round aggregations never pad
+    pad = (-n) % (ndev * _kernel_block(kernel, schema))
 
     def padded(a, fill=0):
         if pad == 0 or a is None:
@@ -145,7 +158,7 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
         mesh=mesh, num_cols_to_impute=tuple(num_null_cols),
         cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
         gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
-        axis=axis, trainer=trainer)
+        axis=axis, trainer=trainer, kernel=kernel)
     # drop the pad rows ON DEVICE — no host round trip of the full table
     if pad:
         x_out = x_out[:, :n]
@@ -157,7 +170,7 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
     jax.jit,
     static_argnames=("schema", "mesh", "num_cols_to_impute",
                      "cat_cols_to_impute", "gd_iters", "lda_shrinkage",
-                     "noise", "axis", "trainer"))
+                     "noise", "axis", "trainer", "kernel"))
 def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
                             cat_dirty_idx, *, schema: FeatureSchema, mesh,
                             num_cols_to_impute: tuple[int, ...],
@@ -165,7 +178,7 @@ def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
                             iters, gd_iters: int = 500,
                             lda_shrinkage: float = 0.001,
                             noise: bool = False, axis: str = "data",
-                            trainer: str = "solve"):
+                            trainer: str = "solve", kernel: str = "xla"):
     """The delta-MICE strategy (imputation_low.cpp:42-110,188-194) under one
     shard_map: ONE psum'd full aggregation up front, then per column per
     round only each shard's LOCAL dirty rows are re-aggregated and the tiny
@@ -177,9 +190,10 @@ def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
     num_dirty_idx / cat_dirty_idx: per imputed column,
     (idx i32[D, k_pad], valid f32[D, k_pad]) — SHARD-LOCAL dirty-row
     indices, row-padded to a common k_pad, sharded over the leading axis."""
-    from .device_round import _delta_round_columns, _make_delta_agg
+    from .device_round import (_delta_round_columns, _from_cols,
+                               _make_delta_agg, _to_cols)
 
-    agg = _make_delta_agg("xla", schema)
+    agg = _make_delta_agg(kernel, schema)
 
     dirty_specs = tuple((P(axis, None), P(axis, None))
                         for _ in range(len(num_dirty_idx)
@@ -196,25 +210,27 @@ def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
         ndirty = tuple((i[0], v[0]) for i, v in ndirty)
         cdirty = tuple((i[0], v[0]) for i, v in cdirty)
         combine = lambda s: jax.lax.psum(s, axis)
-        full0 = combine(agg(x, c, val))
+        x_cols0, code_cols0 = _to_cols(x, c, schema)
+        full0 = combine(agg(x_cols0, code_cols0, val))
         # noise keyed by (round, col, GLOBAL row index): mesh-shape
         # invariant, no shard fold
         row_offset = jax.lax.axis_index(axis) * x.shape[-1]
 
         def body(r, carry):
-            xx, cc, kk, full = carry
-            xx, cc, _, full = _delta_round_columns(
-                xx, cc, jax.random.fold_in(kk, r), full, ndirty, cdirty,
-                schema=schema,
+            x_cols, code_cols, kk, full = carry
+            x_cols, code_cols, _, full = _delta_round_columns(
+                x_cols, code_cols, jax.random.fold_in(kk, r), full,
+                ndirty, cdirty, schema=schema,
                 num_cols_to_impute=num_cols_to_impute,
                 cat_cols_to_impute=cat_cols_to_impute, agg=agg,
                 combine=combine, gd_iters=gd_iters,
                 lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer,
                 row_offset=row_offset)
-            return xx, cc, kk, full
+            return x_cols, code_cols, kk, full
 
-        xx, cc, _, _ = jax.lax.fori_loop(0, iters, body, (x, c, k, full0))
-        return xx, cc
+        x_cols, code_cols, _, _ = jax.lax.fori_loop(
+            0, iters, body, (x_cols0, code_cols0, k, full0))
+        return _from_cols(x_cols, code_cols, schema, x.shape[-1])
 
     return local(x_num, codes, valid, key, num_dirty_idx, cat_dirty_idx)
 

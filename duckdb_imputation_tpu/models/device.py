@@ -157,14 +157,18 @@ def mice_column_step_device(x_num, codes, null_mask, *, schema, label: int,
     """One fully-on-device MICE continuous-column step: masked aggregate →
     GD train → batched predict → masked write-back. jit/shard_map-able.
     x_num f32[d, n] features-first, codes i32[c, n], null_mask bool[n]."""
-    from ..ring.sum import _zt_block, masked_sigma
+    from ..ring.sum import linear_predict, masked_sigma
 
     w = 1.0 - null_mask.astype(jnp.float32)
     sigma = masked_sigma(x_num, codes, w, schema=schema)
     coeff = linreg_train_device(sigma, label=label + 1,
                                 max_iters=max_iters)
-    zt = _zt_block(x_num, codes, schema)
-    pred = linreg_predict_device(coeff, zt, label + 1)
+    theta = coeff * (1.0 - jax.nn.one_hot(label + 1, coeff.shape[0],
+                                          dtype=coeff.dtype))
+    pred = linear_predict(theta,
+                          tuple(x_num[j] for j in range(schema.num_cols)),
+                          tuple(codes[j] for j in range(schema.cat_cols)),
+                          schema=schema)
     new_col = jnp.where(null_mask, pred, x_num[label])
     return x_num.at[label].set(new_col), coeff
 

@@ -414,8 +414,64 @@ def sigma_pallas_fast2(x_num, codes, weights, *, schema: FeatureSchema,
         out_shape=jax.ShapeDtypeStruct((width, width), jnp.float32),
     )(x_in, c_in, w_in)
 
-    # sigma row -> kernel row: top rows in place, then each cat column's
-    # values at its 8-aligned block start
+    return _fast2_epilogue(out, schema, t_pad, vpads, seg_e, p_seg, pack)
+
+
+def _sigma_fast2_cols_kernel(*refs, schema: FeatureSchema, t_pad: int,
+                             vpads: tuple[int, ...], seg_e: int, p_seg: int,
+                             pack: int, chunk: int, width: int):
+    """Per-column-ref variant of _sigma_fast2_kernel: refs =
+    (x_0 .. x_{d-1}, code_0 .. code_{c-1}, w, out), each input [1, block].
+    Identical math; exists so the columnar table layout (tuple of
+    per-column arrays — see ring.sum.linear_predict for why) feeds the
+    kernel without ever re-stacking a [d, n] block."""
+    d, c = schema.num_cols, schema.cat_cols
+    x_refs = refs[:d]
+    c_refs = refs[d:d + c]
+    w_ref = refs[d + c]
+    out_ref = refs[d + c + 1]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sizes = schema.cat_sizes
+    qt = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+
+    segs = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        wrow = w_ref[:, sl]
+        top = jnp.broadcast_to((qt == 0).astype(jnp.float32),
+                               (t_pad, chunk))
+        for j in range(d):
+            top = top + (qt == 1 + j).astype(jnp.float32) \
+                * x_refs[j][0, sl][None, :]
+        topw = top * wrow
+        segs.append(topw)
+        for j, size in enumerate(sizes):
+            cj = c_refs[j][0, sl][None, :]
+            cadj = jnp.where(cj < size, cj, -1)
+            qj = jax.lax.broadcasted_iota(jnp.int32, (vpads[j], 1), 0)
+            segs.append((qj == cadj).astype(jnp.float32) * wrow)
+        if seg_e:
+            segs.append(topw - topw.astype(jnp.bfloat16).astype(jnp.float32))
+    if pack * p_seg < width:
+        segs.append(jnp.zeros((width - pack * p_seg, chunk), jnp.float32))
+    arr = jnp.concatenate(segs, axis=0).astype(jnp.bfloat16) \
+        if len(segs) > 1 else segs[0].astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        arr, arr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _fast2_epilogue(out, schema: FeatureSchema, t_pad, vpads, seg_e, p_seg,
+                    pack):
+    """Sum the packed diagonal blocks of the kernel output into the P×P
+    sigma (shared by the stacked and per-column entry points)."""
+    d = schema.num_cols
+    p = schema.sigma_size
     parts = [np.arange(1 + d)]
     row = t_pad
     for j, size in enumerate(schema.cat_sizes):
@@ -438,6 +494,62 @@ def sigma_pallas_fast2(x_num, codes, weights, *, schema: FeatureSchema,
         sigma = sigma + corr + corr.T
         sigma = sigma.at[:1 + d, :1 + d].add(ee)
     return sigma
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "chunk_cols"))
+def sigma_pallas_fast2_cols(x_cols, code_cols, weights, *,
+                            schema: FeatureSchema,
+                            chunk_cols: int = 8192) -> jax.Array:
+    """sigma_pallas_fast2 fed by TUPLES of per-column [n] arrays (the
+    columnar pytree layout) — each column is its own kernel ref, so the
+    [d, n] stack is never materialized. n must be a block multiple."""
+    d, c = schema.num_cols, schema.cat_cols
+    assert len(x_cols) == d and len(code_cols) == c
+    n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
+    t_pad, vpads, seg_e, p_seg, pack, width = _sizing_fast2(schema)
+    block = pack * chunk_cols
+    assert n % block == 0, (n, block)
+
+    row_spec = pl.BlockSpec((1, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    ins = ([jnp.asarray(xc, jnp.float32).reshape(1, n) for xc in x_cols]
+           + [jnp.asarray(cc, jnp.int32).reshape(1, n) for cc in code_cols]
+           + [jnp.asarray(weights, jnp.float32).reshape(1, n)])
+    out = pl.pallas_call(
+        functools.partial(_sigma_fast2_cols_kernel, schema=schema,
+                          t_pad=t_pad, vpads=vpads, seg_e=seg_e,
+                          p_seg=p_seg, pack=pack, chunk=chunk_cols,
+                          width=width),
+        grid=(n // block,),
+        in_specs=[row_spec] * len(ins),
+        out_specs=pl.BlockSpec((width, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((width, width), jnp.float32),
+    )(*ins)
+    return _fast2_epilogue(out, schema, t_pad, vpads, seg_e, p_seg, pack)
+
+
+def sigma_pallas_fast2_cols_padded(x_cols, code_cols, weights, *,
+                                   schema: FeatureSchema,
+                                   chunk_cols: int = 8192) -> jax.Array:
+    """Zero-weight pad n up to a v2 block multiple (per-column inputs)."""
+    d = schema.num_cols
+    n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
+    pack = _sizing_fast2(schema)[4]
+    block = pack * chunk_cols
+    pad = (-n) % block
+    if pad:
+        x_cols = tuple(jnp.pad(jnp.asarray(xc, jnp.float32), (0, pad))
+                       for xc in x_cols)
+        code_cols = tuple(jnp.pad(jnp.asarray(cc, jnp.int32), (0, pad))
+                          for cc in code_cols)
+        w = (jnp.ones((n,), jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+        weights = jnp.pad(w, (0, pad))
+    elif weights is None:
+        weights = jnp.ones((n,), jnp.float32)
+    return sigma_pallas_fast2_cols(x_cols, code_cols, weights,
+                                   schema=schema, chunk_cols=chunk_cols)
 
 
 def sigma_pallas_fast2_padded(x_num, codes, weights, *,

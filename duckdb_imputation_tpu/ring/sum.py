@@ -102,6 +102,92 @@ def _zt_block(x_num, codes, schema: FeatureSchema) -> jax.Array:
     return jnp.concatenate(rows, axis=0)
 
 
+# TPU gathers by a 100M-element index vector lower poorly (measured 34.5ms
+# vs 21.2ms for compare-select at 100M rows on v5e); up to this vocab size
+# the per-category select-sum wins, above it one jnp.take per column.
+_SELECT_VOCAB_LIMIT = 64
+
+
+def _cat_contrib(seg, code, size):
+    """Σ_v seg[v]·[code == v] for one categorical column: the coefficient
+    picked by the code row, 0 for out-of-vocab/negative codes (matching
+    one_hot's all-zero row). seg f32[size] traced, code i32[n]."""
+    if size <= _SELECT_VOCAB_LIMIT:
+        acc = seg[0] * (code == 0).astype(seg.dtype)
+        for v in range(1, size):
+            acc = acc + seg[v] * (code == v).astype(seg.dtype)
+        return acc
+    padded = jnp.concatenate([seg, jnp.zeros((1,), seg.dtype)])
+    safe = jnp.where(jnp.logical_and(code >= 0, code < size), code, size)
+    return jnp.take(padded, safe, axis=0)
+
+
+def linear_predict(theta, x_cols, code_cols, *, schema: FeatureSchema):
+    """θ·Z without materializing Z: ŷ[r] = θ₀ + Σⱼ θ₁₊ⱼ x[j,r] +
+    Σ_c θ[offs_c + code[c,r]] — direct arithmetic on the numeric columns
+    plus a compare-select over each categorical column's (small) vocab.
+
+    x_cols / code_cols are TUPLES of per-column [n] arrays (the columnar
+    pytree layout — a stacked [d, n] block in a loop carry forces XLA to
+    copy the whole table on every single-column write-back, measured
+    70 GB/s vs 658 GB/s for per-column arrays).
+
+    Exact f32, and XLA fuses everything into ONE pass over the rows — the
+    [P, n] one-hot feature block never exists, which makes the 100M-row
+    MICE predict phase bandwidth-bound instead of 10× over it. Batched fix
+    of the reference's row-at-a-time predict loops
+    (regression.cpp:456-491, lda.cpp:511-577)."""
+    d = schema.num_cols
+    n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
+    pred = jnp.broadcast_to(theta[0], (n,))
+    for j in range(d):
+        pred = pred + theta[1 + j] * x_cols[j]
+    offs = schema.offsets
+    for cj, size in enumerate(schema.cat_sizes):
+        seg = theta[1 + d + offs[cj]:1 + d + offs[cj + 1]]
+        pred = pred + _cat_contrib(seg, code_cols[cj], size)
+    return pred
+
+
+def class_argmax(w_full, intercept, x_cols, code_cols, *,
+                 schema: FeatureSchema):
+    """argmax_k (WᵀZ + b)[k] without materializing Z or the [C, n] score
+    block: classes are streamed with a running (best value, best index)
+    pair, each class's score computed like linear_predict. W f32[P, C]
+    (rows in sigma layout; excluded features = zero rows), b f32[C].
+    Returns i32[n] class indices."""
+    d = schema.num_cols
+    n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
+    offs = schema.offsets
+    c_out = w_full.shape[1]
+    best_v = jnp.full((n,), -jnp.inf, jnp.float32)
+    best_i = jnp.zeros((n,), jnp.int32)
+    for k in range(c_out):
+        s = jnp.broadcast_to(intercept[k] + w_full[0, k], (n,))
+        for j in range(d):
+            s = s + w_full[1 + j, k] * x_cols[j]
+        for cj, size in enumerate(schema.cat_sizes):
+            seg = w_full[1 + d + offs[cj]:1 + d + offs[cj + 1], k]
+            s = s + _cat_contrib(seg, code_cols[cj], size)
+        upd = s > best_v
+        best_v = jnp.where(upd, s, best_v)
+        best_i = jnp.where(upd, jnp.int32(k), best_i)
+    return best_i
+
+
+def _stack_cols(x_cols, code_cols, schema: FeatureSchema):
+    """Tuples of per-column arrays -> the stacked features-first blocks the
+    XLA sigma path consumes (the Pallas v2 kernel takes the tuples
+    directly via per-column refs — see sigma_pallas_fast2_cols)."""
+    n = (x_cols[0].shape[-1] if schema.num_cols
+         else code_cols[0].shape[-1])
+    x = (jnp.stack(x_cols) if schema.num_cols
+         else jnp.zeros((0, n), jnp.float32))
+    c = (jnp.stack(code_cols) if schema.cat_cols
+         else jnp.zeros((0, n), jnp.int32))
+    return x, c
+
+
 def _pad_cols(arr, mult):
     n = arr.shape[-1]
     pad = (-n) % mult
