@@ -236,17 +236,22 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
     import jax
     import jax.numpy as jnp
 
-    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import _sizing
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        _sizing,
+        _sizing_fast2,
+    )
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
         _device_group_sort,
-        _sigma_pallas_grouped_padded,
+        _sigma_pallas_grouped_fast2_padded,
         _sigma_pallas_grouped_unsorted_fast,
     )
 
     pack, _ = _sizing(schema)
     block = pack * 2048
-    n -= n % block
-    n_total = n + (groups + 1) * block  # sort_by_group's padded length
+    chunk2 = 8192
+    block2 = _sizing_fast2(schema)[4] * chunk2   # v2 fast sorted layout
+    n -= n % (block * block2 // np.gcd(block, block2))
+    n_total = n + (groups + 1) * block2  # sort_by_group's padded length
     d_num, d_cat = schema.num_cols, schema.cat_cols
 
     @jax.jit
@@ -267,11 +272,11 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
     @functools.partial(jax.jit, static_argnames=("iters", "presorted"))
     def loop(x, c, w, g, iters: int, presorted: bool):
         x_s, c_s, w_s, gmap, first = _device_group_sort(
-            x, c, w, g, num_groups=groups, block=block, n_total=n_total,
+            x, c, w, g, num_groups=groups, block=block2, n_total=n_total,
             d=d_num, c=d_cat)
 
         def body_public(i, acc):
-            # the public method='pallas' dispatch at G=8: unsorted
+            # the public one-shot method='pallas' dispatch at G=8: unsorted
             # split-precision kernel (binary group masks), zero prep
             # (weights perturbed to defeat loop hoisting; rounds away in
             # the bf16 fold)
@@ -281,9 +286,11 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
             return acc + jnp.sum(s, axis=0)
 
         def body_presorted(i, acc):
-            s = _sigma_pallas_grouped_padded(
+            # the sort_by_group(fast=True)-once repeated-call pattern:
+            # v2 split-precision sorted-slab kernel, grouping costs nothing
+            s = _sigma_pallas_grouped_fast2_padded(
                 x_s, c_s, w_s + 1e-9 * i.astype(jnp.float32), gmap, first,
-                schema=schema, num_groups=groups + 1, chunk_cols=2048)
+                schema=schema, num_groups=groups + 1, chunk_cols=chunk2)
             return acc + jnp.sum(s[:groups], axis=0)
 
         return jax.lax.fori_loop(0, iters,
@@ -302,7 +309,8 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
         np.asarray(loop(x, c, w, g, iters=k_lo, presorted=presorted))
         d_lo = time.perf_counter() - t0
         per = (d_hi - d_lo) / (k_hi - k_lo)
-        tag = "presorted kernel-only" if presorted else "public (sort+kernel)"
+        tag = ("presorted kernel-only (v2 fast)" if presorted
+               else "public one-shot (zero-prep unsorted)")
         log(f"QDA grouped skewed ({groups} classes, 90% hot, {tag}) @{n}: "
             f"{per * 1e3:.2f} ms -> {n / per / 1e9:.2f}G rows/s")
         rates.append(n / per)

@@ -39,7 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...schema import FeatureSchema
 from ..triple import Triple, triple_from_sigma
-from .sigma_pallas import _seg_size, _sizing
+from .sigma_pallas import _fast2_epilogue, _seg_size, _sizing, _sizing_fast2
 
 
 def _grouped_unsorted_kernel(x_ref, codes_ref, w_ref, g_ref, out_ref, *,
@@ -420,14 +420,111 @@ def _sigma_pallas_grouped_padded(x_num, codes, weights, gmap, first, *,
     return sigma
 
 
+def _grouped_fast2_kernel(gmap_ref, first_ref, x_ref, codes_ref, w_ref,
+                          out_ref, *, schema: FeatureSchema, t_pad: int,
+                          vpads: tuple[int, ...], seg_e: int, p_seg: int,
+                          pack: int, chunk: int, width: int):
+    """Sorted-slab grouped kernel at the v2 split-precision rate (BINARY
+    weights): the single-fused-MXU-pass packed build of _sigma_fast2_kernel
+    (sigma_pallas.py) with the scalar-prefetched block→slab routing of
+    _grouped_kernel. Data must be group-sorted and block-padded (every
+    block belongs to exactly one slab — sort_by_group guarantees it), so
+    grouping adds ZERO kernel cost over the ungrouped v2 kernel: one
+    bf16 self-Gram per block, accumulated into the block's group slab."""
+    step = pl.program_id(0)
+
+    @pl.when(first_ref[step] == 1)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    d = schema.num_cols
+    sizes = schema.cat_sizes
+    qt = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+
+    segs = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        wrow = w_ref[:, sl]
+        top = jnp.broadcast_to((qt == 0).astype(jnp.float32),
+                               (t_pad, chunk))
+        for j in range(d):
+            top = top + (qt == 1 + j).astype(jnp.float32) \
+                * x_ref[j, sl][None, :]
+        topw = top * wrow
+        segs.append(topw)
+        for j, size in enumerate(sizes):
+            cj = codes_ref[j, sl][None, :]
+            cadj = jnp.where(cj < size, cj, -1)           # oov -> no hit
+            qj = jax.lax.broadcasted_iota(jnp.int32, (vpads[j], 1), 0)
+            segs.append((qj == cadj).astype(jnp.float32) * wrow)
+        if seg_e:
+            segs.append(topw - topw.astype(jnp.bfloat16).astype(jnp.float32))
+    if pack * p_seg < width:
+        segs.append(jnp.zeros((width - pack * p_seg, chunk), jnp.float32))
+    arr = jnp.concatenate(segs, axis=0).astype(jnp.bfloat16) \
+        if len(segs) > 1 else segs[0].astype(jnp.bfloat16)
+    out_ref[0] += jax.lax.dot_general(
+        arr, arr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("schema", "num_groups", "chunk_cols"))
+def _sigma_pallas_grouped_fast2_padded(x_num, codes, weights, gmap, first, *,
+                                       schema: FeatureSchema,
+                                       num_groups: int, chunk_cols: int):
+    """Inputs already group-sorted and padded to v2 block multiples
+    (sort_by_group(..., fast=True)); weights must be binary. Returns
+    f32[num_groups, P, P]."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = x_num.shape[-1]
+    t_pad, vpads, seg_e, p_seg, pack, width = _sizing_fast2(schema)
+    block = pack * chunk_cols
+    n_blocks = n // block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((max(d, 1), block), lambda i, g, f: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c, 1), block), lambda i, g, f: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i, g, f: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, width, width),
+                               lambda i, g, f: (g[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_grouped_fast2_kernel, schema=schema, t_pad=t_pad,
+                          vpads=vpads, seg_e=seg_e, p_seg=p_seg, pack=pack,
+                          chunk=chunk_cols, width=width),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_groups, width, width),
+                                       jnp.float32),
+    )(gmap, first,
+      x_num if d else jnp.zeros((1, n), jnp.float32),
+      codes if c else jnp.zeros((1, n), jnp.int32),
+      weights.reshape(1, n))
+
+    return jax.vmap(lambda o: _fast2_epilogue(
+        o, schema, t_pad, vpads, seg_e, p_seg, pack))(out)
+
+
 class GroupLayout(NamedTuple):
     """Sorted-segment layout: block → output-slab routing for group-sorted,
     block-aligned data. Slab num_groups is the overflow slab that absorbs
-    out-of-range rows and alignment dummies; callers drop it."""
+    out-of-range rows and alignment dummies; callers drop it. `fast` marks
+    a layout built for the v2 split-precision kernel's block geometry
+    (binary weights only)."""
     gmap: jax.Array    # i32[n_blocks] block -> slab in [0, num_groups]
     first: jax.Array   # i32[n_blocks] 1 on each slab's first block
     block: int         # rows per block (pack * chunk_cols), static
     num_groups: int    # real groups (static); slabs = num_groups + 1
+    fast: bool = False
+    chunk_cols: int = 2048
 
 
 @functools.partial(jax.jit,
@@ -487,12 +584,17 @@ def _device_group_sort(x_num, codes, weights, group_ids, *, num_groups: int,
 
 
 def sort_by_group(x_num, codes, group_ids, *, schema: FeatureSchema,
-                  num_groups: int, weights=None, chunk_cols: int = 2048):
+                  num_groups: int, weights=None,
+                  chunk_cols: int | None = None, fast: bool = False):
     """One-time grouping prep for repeated grouped aggregation (the
     per-class QDA/NB-inside-MICE pattern): returns (x_sorted, codes_sorted,
     weights_sorted, GroupLayout). Each subsequent
     `sum_to_triple_grouped_presorted` call is then kernel-only — the
-    database analogue of clustering the table by the GROUP BY key once."""
+    database analogue of clustering the table by the GROUP BY key once.
+
+    fast=True lays blocks out for the v2 split-precision kernel (single
+    bf16 MXU pass — the ungrouped headline rate; weights at aggregation
+    time must be BINARY)."""
     d, c = schema.num_cols, schema.cat_cols
     n = len(group_ids)
     if x_num is None:
@@ -501,40 +603,50 @@ def sort_by_group(x_num, codes, group_ids, *, schema: FeatureSchema,
         codes = jnp.zeros((0, n), jnp.int32)
     if weights is None:
         weights = jnp.ones((n,), jnp.float32)
-    pack, _ = _sizing(schema)
+    if chunk_cols is None:
+        chunk_cols = 8192 if fast else 2048
+    pack = _sizing_fast2(schema)[4] if fast else _sizing(schema)[0]
     block = pack * chunk_cols
     n_total = (-(-n // block)) * block + (num_groups + 1) * block
     x_s, c_s, w_s, gmap, first = _device_group_sort(
         jnp.asarray(x_num, jnp.float32), jnp.asarray(codes, jnp.int32),
         jnp.asarray(weights, jnp.float32), group_ids,
         num_groups=num_groups, block=block, n_total=n_total, d=d, c=c)
-    return x_s, c_s, w_s, GroupLayout(gmap, first, block, num_groups)
+    return x_s, c_s, w_s, GroupLayout(gmap, first, block, num_groups,
+                                      fast, chunk_cols)
 
 
 def sum_to_triple_grouped_presorted(x_sorted, codes_sorted, w_sorted,
                                     layout: GroupLayout, *,
                                     schema: FeatureSchema,
-                                    chunk_cols: int = 2048) -> Triple:
+                                    chunk_cols: int | None = None) -> Triple:
     """Grouped aggregation over data already laid out by `sort_by_group`:
     one kernel launch, no prep. Weights may differ from the layout-time
-    weights (e.g. a per-round observed-mask in sorted row order)."""
-    sigma = _sigma_pallas_grouped_padded(
+    weights (e.g. a per-round observed-mask in sorted row order; must stay
+    BINARY for a fast layout)."""
+    kern = (_sigma_pallas_grouped_fast2_padded if layout.fast
+            else _sigma_pallas_grouped_padded)
+    sigma = kern(
         x_sorted, codes_sorted, w_sorted, layout.gmap, layout.first,
         schema=schema, num_groups=layout.num_groups + 1,
-        chunk_cols=chunk_cols)
+        chunk_cols=chunk_cols or layout.chunk_cols)
     return triple_from_sigma(sigma[:layout.num_groups], schema.num_cols)
 
 
 def sum_to_triple_grouped_pallas(x_num, codes, group_ids, *,
                                  schema: FeatureSchema, num_groups: int,
-                                 weights=None,
-                                 chunk_cols: int = 2048) -> Triple:
+                                 weights=None, fast: bool | None = None,
+                                 chunk_cols: int | None = None) -> Triple:
     """GROUP BY aggregation through the single-launch grouped kernel, with
     DEVICE-NATIVE grouping prep (pad-then-payload-sort; no host data
     traffic). x_num f32[d, n], codes i32[c, n], group_ids i32[n]
-    (out-of-range rows are dropped)."""
+    (out-of-range rows are dropped). fast (split-precision bf16, valid for
+    BINARY weights) defaults to True when weights is None — the sort's
+    zero-weight dummy rows keep the weight vector binary."""
+    if fast is None:
+        fast = weights is None
     x_s, c_s, w_s, layout = sort_by_group(
         x_num, codes, group_ids, schema=schema, num_groups=num_groups,
-        weights=weights, chunk_cols=chunk_cols)
+        weights=weights, chunk_cols=chunk_cols, fast=fast)
     return sum_to_triple_grouped_presorted(
-        x_s, c_s, w_s, layout, schema=schema, chunk_cols=chunk_cols)
+        x_s, c_s, w_s, layout, schema=schema)

@@ -141,6 +141,46 @@ def test_grouped_pallas_unsorted_fast_interpret():
                                rtol=1e-4, atol=1e-2)
 
 
+def test_grouped_pallas_presorted_fast_interpret():
+    """The v2 split-precision sorted-slab kernel (fast=True layout: single
+    bf16 MXU pass per block, block→slab routing) matches the masked path —
+    counts/one-hot sections exact, quad within split-precision tolerance.
+    Covers empty groups, out-of-range ids, binary (mask) weights, and the
+    default fast public dispatch of sum_to_triple_grouped_pallas."""
+    from jax.experimental.pallas import tpu as pltpu
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
+        sort_by_group,
+        sum_to_triple_grouped_presorted,
+    )
+    num, codes, g, schema = _data(n=4000, skew=True)
+    g = np.where(g == 5, 99, g).astype(np.int32)   # group 5 empty, some OOR
+    w = (np.arange(len(g)) % 3 != 0).astype(np.float32)   # binary mask
+
+    # ONE pallas call under interpret mode: the interpret machinery
+    # simulates per-device DMA clocks for all 8 virtual devices and its
+    # cost grows superlinearly with accumulated calls per process. The
+    # public sum_to_triple_grouped_pallas default (weights=None -> fast)
+    # dispatches to exactly this sort_by_group+presorted pair.
+    with pltpu.force_tpu_interpret_mode():
+        x_s, c_s, w_s, layout = sort_by_group(
+            num, codes, g, schema=schema, num_groups=7, weights=w,
+            fast=True, chunk_cols=512)
+        assert layout.fast and layout.block == 4 * 512
+        got = sum_to_triple_grouped_presorted(x_s, c_s, w_s, layout,
+                                              schema=schema)
+    ref = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
+                                weights=w, method="masked")
+    np.testing.assert_array_equal(np.asarray(ref.n), np.asarray(got.n))
+    np.testing.assert_array_equal(np.asarray(ref.lin_cat),
+                                  np.asarray(got.lin_cat))
+    np.testing.assert_array_equal(np.asarray(ref.cat_cat),
+                                  np.asarray(got.cat_cat))
+    np.testing.assert_allclose(np.asarray(ref.quad), np.asarray(got.quad),
+                               rtol=1e-4, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ref.lin), np.asarray(got.lin),
+                               rtol=1e-4, atol=1e-2)
+
+
 def test_grouped_pallas_presorted_reuse():
     """sort_by_group once, aggregate repeatedly with CHANGED weights — the
     amortized per-class pattern (layout reuse must track weights given in
