@@ -655,14 +655,15 @@ def _is_agg_call(e) -> bool:
 
 
 def _null_to(kind, n):
-    data = np.full(n, np.nan, np.float32) if kind == "f" else \
+    data = np.full(n, np.nan, np.float64) if kind == "f" else \
         np.zeros(n, np.int64) if kind == "i" else \
         np.zeros(n, bool) if kind == "b" else np.full(n, None, object)
     return Column(data, np.ones(n, bool), kind)
 
 
 def _broadcast(val, n) -> Column:
-    """Python scalar → length-n Column."""
+    """Python scalar → length-n Column. Float literals are DOUBLE — the
+    DuckDB rule (a decimal literal types as DOUBLE/DECIMAL, not FLOAT)."""
     if val is None:
         return _null_to("f", n)
     if isinstance(val, bool):
@@ -670,15 +671,26 @@ def _broadcast(val, n) -> Column:
     if isinstance(val, int):
         return Column(np.full(n, val, np.int64))
     if isinstance(val, float):
-        return Column(np.full(n, val, np.float32))
+        return Column(np.full(n, val, np.float64))
     arr = np.empty(n, object)
     arr[:] = [val] * n
     return Column(arr, kind="o")
 
 
 def _numeric(col: Column) -> np.ndarray:
+    """Numeric view for EXPRESSION evaluation: f64 compute everywhere.
+
+    Storage stays f32 (the FLOAT column contract) but every operator
+    computes in f64 — the widening is exact, and a single policy keeps the
+    engine self-consistent: mixing f32 (CASE/COALESCE outputs) with f64
+    (arithmetic's natural numpy promotion) made `x <= COALESCE(x, 0)`
+    spuriously FALSE for non-null x (caught by the sqlite differential
+    fuzz, test_sql_differential.py). The ring/model call sites re-cast to
+    f32 themselves (the kernel input dtype)."""
     if col.kind == "b":
-        return col.data.astype(np.float32)
+        return col.data.astype(np.float64)
+    if col.kind == "f" and col.data.dtype != np.float64:
+        return col.data.astype(np.float64)
     return col.data
 
 
@@ -1025,7 +1037,7 @@ class Connection:
                             Column(arr, nulls, "i"))
                     continue
                 arr = np.asarray([np.nan if v is None else float(v)
-                                  for v in vals], np.float32)
+                                  for v in vals], np.float64)
                 out.add(alias or _expr_name(e, i), Column(arr, nulls, "f"))
                 continue
             out.add(alias or _expr_name(e, i), Column(arr, nulls, "o"))
@@ -1058,13 +1070,45 @@ class Connection:
             v = self._eval_scalar(e[1], grel, env)
             return None if v is None else -v
         if kind == "and":
-            return (self._eval_scalar(e[1], grel, env)
-                    and self._eval_scalar(e[2], grel, env))
+            # 3VL: FALSE dominates NULL (Python `and` would return None
+            # for NULL AND FALSE and True for NOT NULL — both wrong SQL)
+            a = self._eval_scalar(e[1], grel, env)
+            b = self._eval_scalar(e[2], grel, env)
+            a = None if a is None else bool(a)
+            b = None if b is None else bool(b)
+            if a is False or b is False:
+                return False
+            if a is None or b is None:
+                return None
+            return True
         if kind == "or":
-            return (self._eval_scalar(e[1], grel, env)
-                    or self._eval_scalar(e[2], grel, env))
+            a = self._eval_scalar(e[1], grel, env)
+            b = self._eval_scalar(e[2], grel, env)
+            a = None if a is None else bool(a)
+            b = None if b is None else bool(b)
+            if a is True or b is True:
+                return True
+            if a is None or b is None:
+                return None
+            return False
         if kind == "not":
-            return not self._eval_scalar(e[1], grel, env)
+            v = self._eval_scalar(e[1], grel, env)
+            return None if v is None else not bool(v)
+        if kind == "isnull":
+            v = self._eval_scalar(e[1], grel, env)
+            return (v is not None) if e[2] else (v is None)
+        if kind == "istruth":
+            v = self._eval_scalar(e[1], grel, env)
+            d = v is not None and bool(v) == e[2]
+            return not d if e[3] else d
+        if kind == "case":
+            whens, els = e[1], e[2]
+            for cond, val in whens:
+                cv = self._eval_scalar(cond, grel, env)
+                if cv is not None and cv:
+                    return self._eval_scalar(val, grel, env)
+            return (self._eval_scalar(els, grel, env) if els is not None
+                    else None)
         if kind == "scalar_sub":
             return self._scalar_subquery(e[1])
         if kind == "col":
@@ -1126,8 +1170,9 @@ class Connection:
             if fname == "avg":
                 return float(np.mean(vals.astype(np.float64)))
             if fname == "sum":
-                s = vals.sum()
-                return int(s) if col.kind == "i" else float(s)
+                if col.kind == "i":
+                    return int(vals.sum())
+                return float(vals.sum(dtype=np.float64))
             if fname == "min":
                 return vals.min().item()
             if fname == "max":
@@ -1139,6 +1184,12 @@ class Connection:
             if fname == "mode":
                 uniq, cnt = np.unique(vals, return_counts=True)
                 return uniq[np.argmax(cnt)].item()
+        if fname == "coalesce":
+            for a in args:
+                v = self._eval_scalar(a, grel, env)
+                if v is not None:
+                    return v
+            return None
         # scalar function of scalar args (e.g. lda_train over a literal)
         sargs = [self._eval_scalar(a, grel, env) for a in args]
         return _scalar_fn(fname, sargs)
@@ -1326,7 +1377,7 @@ class Connection:
                     data = np.where(cmask, _numeric(v),
                                     _numeric(result))
                     if kind_out == "f":
-                        data = data.astype(np.float32)
+                        data = data.astype(np.float64)
                     result = Column(data, np.where(cmask, v.null,
                                                    result.null), kind_out)
             return result if result is not None else _null_to("f", n)
@@ -1386,7 +1437,7 @@ class Connection:
                     data = np.where(take, _numeric(c), _numeric(result))
                     kind_out = "f" if "f" in (c.kind, result.kind) else c.kind
                     if kind_out == "f":
-                        data = data.astype(np.float32)
+                        data = data.astype(np.float64)
                     result = Column(data,
                                     np.where(take, c.null, result.null),
                                     kind_out)
@@ -1401,7 +1452,7 @@ class Connection:
         if fname == "list_extract":
             lst = _const_eval(args[0])
             idx = self._eval(args[1], rel)
-            arr = np.asarray(lst, np.float32)
+            arr = np.asarray(lst, np.float64)
             pos = np.clip(idx.data.astype(np.int64) - 1, 0, len(arr) - 1)
             null = idx.null | (idx.data <= 0) | (idx.data > len(arr))
             return Column(arr[pos], null, "f")
@@ -1413,8 +1464,7 @@ class Connection:
             f = {"sqrt": np.sqrt, "ln": np.log, "exp": np.exp,
                  "round": np.round, "floor": np.floor,
                  "ceil": np.ceil}[fname]
-            return Column(f(_numeric(c).astype(np.float64)).astype(
-                np.float32), c.null, "f")
+            return Column(f(_numeric(c).astype(np.float64)), c.null, "f")
         raise SQLError(f"unknown function {fname}")
 
     def _call_model(self, fname, args, rel: Relation) -> Column:

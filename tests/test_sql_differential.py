@@ -1,0 +1,328 @@
+"""Differential fuzz of the SQL engine against sqlite3 (stdlib).
+
+The reference's entire user surface is SQL (SURVEY.md §2 L0); sql.py is a
+hand-rolled tokenizer/parser/evaluator, and hand-written example queries
+probe only a sliver of its semantic surface (3-valued NULL logic in every
+operator, join + aggregate + HAVING combinations, CASE/COALESCE nesting).
+sqlite3 implements the same semantics for the generated subset — numeric
+expressions, comparisons, AND/OR/NOT, IS [NOT] NULL, CASE, COALESCE,
+NULL-skipping aggregates, inner joins, GROUP BY/HAVING, DISTINCT — so a
+seeded random-query generator run through both engines pins thousands of
+semantic combinations no hand-written suite reaches.
+
+Excluded by construction (known, documented divergences):
+  * ORDER BY — default NULL placement differs (DuckDB: NULLS LAST; sqlite:
+    NULLS FIRST); results are compared as multisets instead.
+  * `/` and `%` — sqlite integer division truncates, DuckDB's does not.
+  * string operations — the generator is numeric + NULL only.
+  * float storage width — the engine stores FLOAT columns in f32 (the
+    DuckDB FLOAT contract), sqlite REAL in f64, so data values and float
+    literals are kept on dyadic grids (1/64 resp. 1/4) that both widths
+    represent exactly; expression evaluation is f64 in both engines, so
+    every comparison/DISTINCT/equality then agrees bit-for-bit.
+"""
+import math
+
+import numpy as np
+import random
+import sqlite3
+
+import pytest
+
+from duckdb_imputation_tpu import sql
+
+
+# ---------------------------------------------------------------------------
+# shared data
+# ---------------------------------------------------------------------------
+
+def _gen_rows_t1(rng, n=45):
+    rows = []
+    for i in range(n):
+        a = None if rng.random() < 0.15 else rng.randrange(-256, 257) / 64
+        b = None if rng.random() < 0.15 else rng.randrange(-128, 385) / 64
+        c = None if rng.random() < 0.2 else rng.randrange(5)
+        d = rng.randrange(3)
+        rows.append((i, a, b, c, d))
+    return rows
+
+
+def _gen_rows_t2(rng, n=14):
+    rows = []
+    for i in range(n):
+        k = rng.randrange(5)
+        v = None if rng.random() < 0.2 else rng.randrange(-192, 193) / 64
+        w = rng.randrange(4)
+        rows.append((k, v, w))
+    return rows
+
+
+def _lit(v):
+    return "NULL" if v is None else repr(v)
+
+
+def _make_engines(seed):
+    rng = random.Random(seed)
+    rows1, rows2 = _gen_rows_t1(rng), _gen_rows_t2(rng)
+
+    con = sql.connect()
+    con.execute("CREATE TABLE t1(id INTEGER, a FLOAT, b FLOAT, "
+                "c INTEGER, d INTEGER)")
+    con.execute("INSERT INTO t1 VALUES " + ", ".join(
+        "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows1))
+    con.execute("CREATE TABLE t2(k INTEGER, v FLOAT, w INTEGER)")
+    con.execute("INSERT INTO t2 VALUES " + ", ".join(
+        "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows2))
+
+    lite = sqlite3.connect(":memory:")
+    lite.execute("CREATE TABLE t1(id INTEGER, a REAL, b REAL, "
+                 "c INTEGER, d INTEGER)")
+    lite.executemany("INSERT INTO t1 VALUES (?,?,?,?,?)", rows1)
+    lite.execute("CREATE TABLE t2(k INTEGER, v REAL, w INTEGER)")
+    lite.executemany("INSERT INTO t2 VALUES (?,?,?)", rows2)
+    return con, lite, rng
+
+
+# ---------------------------------------------------------------------------
+# query generator
+# ---------------------------------------------------------------------------
+
+T1_NUM = ["id", "a", "b", "c", "d"]
+T2_NUM = ["k", "v", "w"]
+
+
+def _num_expr(rng, cols, depth):
+    if depth <= 0 or rng.random() < 0.35:
+        r = rng.random()
+        if r < 0.55:
+            return rng.choice(cols)
+        if r < 0.78:
+            return str(rng.randrange(-4, 5))
+        if r < 0.92:
+            return repr(rng.randrange(-12, 13) / 4)
+        if r < 0.97:
+            return "NULL"
+        # scalar subquery leaf (single-row aggregate over t1)
+        fn = rng.choice(["AVG", "MIN", "MAX", "COUNT"])
+        col = rng.choice(["a", "b", "c"])
+        return f"(SELECT {fn}({col}) FROM t1)"
+    kind = rng.randrange(5)
+    if kind < 3:
+        op = rng.choice(["+", "-", "*"])
+        return (f"({_num_expr(rng, cols, depth - 1)} {op} "
+                f"{_num_expr(rng, cols, depth - 1)})")
+    if kind == 3:
+        els = (f" ELSE {_num_expr(rng, cols, depth - 1)}"
+               if rng.random() < 0.7 else "")
+        return (f"(CASE WHEN {_bool_expr(rng, cols, depth - 1)} "
+                f"THEN {_num_expr(rng, cols, depth - 1)}{els} END)")
+    return (f"COALESCE({_num_expr(rng, cols, depth - 1)}, "
+            f"{_num_expr(rng, cols, depth - 1)})")
+
+
+def _bool_expr(rng, cols, depth):
+    if depth <= 0 or rng.random() < 0.4:
+        r = rng.random()
+        if r < 0.75:
+            op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
+            return (f"({_num_expr(rng, cols, 1)} {op} "
+                    f"{_num_expr(rng, cols, 1)})")
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return f"({rng.choice(cols)} IS {neg}NULL)"
+    kind = rng.randrange(3)
+    if kind == 0:
+        return (f"({_bool_expr(rng, cols, depth - 1)} AND "
+                f"{_bool_expr(rng, cols, depth - 1)})")
+    if kind == 1:
+        return (f"({_bool_expr(rng, cols, depth - 1)} OR "
+                f"{_bool_expr(rng, cols, depth - 1)})")
+    return f"(NOT {_bool_expr(rng, cols, depth - 1)})"
+
+
+def _agg_expr(rng, cols):
+    fn = rng.choice(["SUM", "AVG", "MIN", "MAX", "COUNT"])
+    base = f"{fn}({_num_expr(rng, cols, 1)})"
+    r = rng.random()
+    if r < 0.12:                      # aggregate wrapped in COALESCE
+        return f"COALESCE({base}, {rng.randrange(-2, 3)})"
+    if r < 0.2:                       # aggregate inside CASE
+        return (f"(CASE WHEN COUNT(*) > {rng.randrange(1, 6)} THEN {base} "
+                f"ELSE {_agg_expr_plain(rng, cols)} END)")
+    return base
+
+
+def _agg_expr_plain(rng, cols):
+    fn = rng.choice(["SUM", "MIN", "MAX", "COUNT"])
+    return f"{fn}({_num_expr(rng, cols, 1)})"
+
+
+def _having(rng, cols):
+    r = rng.random()
+    if r < 0.15:                      # 3VL NOT over an aggregate compare
+        return (f"NOT ({_agg_expr_plain(rng, cols)} "
+                f"{rng.choice(['>', '<'])} {rng.randrange(-2, 3)})")
+    if r < 0.25:                      # IS [NOT] NULL over an aggregate
+        neg = "NOT " if rng.random() < 0.5 else ""
+        return f"({_agg_expr_plain(rng, cols)} IS {neg}NULL)"
+    one = (f"{_agg_expr(rng, cols)} "
+           f"{rng.choice(['>', '<', '>='])} {rng.randrange(-2, 3)}")
+    if rng.random() < 0.3:
+        two = (f"{_agg_expr(rng, cols)} "
+               f"{rng.choice(['>', '<='])} {rng.randrange(-1, 4)}")
+        return f"({one} {rng.choice(['AND', 'OR'])} {two})"
+    return one
+
+
+def _make_query(rng):
+    shape = rng.randrange(14)
+    if shape < 4:                     # plain projection [+ WHERE] [DISTINCT]
+        distinct = "DISTINCT " if shape == 3 else ""
+        items = ", ".join(_num_expr(rng, T1_NUM, 3)
+                          for _ in range(rng.randrange(1, 4)))
+        q = f"SELECT {distinct}{items} FROM t1"
+        if rng.random() < 0.7:
+            q += f" WHERE {_bool_expr(rng, T1_NUM, 3)}"
+        return q
+    if shape < 6:                     # whole-table aggregates [+ WHERE]
+        items = ", ".join(["COUNT(*)"] + [_agg_expr(rng, T1_NUM)
+                                          for _ in range(2)])
+        q = f"SELECT {items} FROM t1"
+        if rng.random() < 0.7:
+            q += f" WHERE {_bool_expr(rng, T1_NUM, 2)}"
+        return q
+    if shape < 9:                     # GROUP BY [+ WHERE] [+ HAVING]
+        key = rng.choice(["c", "d"])
+        items = ", ".join([key, "COUNT(*)"]
+                          + [_agg_expr(rng, T1_NUM) for _ in range(2)])
+        q = f"SELECT {items} FROM t1"
+        if rng.random() < 0.6:
+            q += f" WHERE {_bool_expr(rng, T1_NUM, 2)}"
+        q += f" GROUP BY {key}"
+        if rng.random() < 0.5:
+            q += f" HAVING {_having(rng, T1_NUM)}"
+        return q
+    if shape < 11:                    # inner join with qualified columns
+        cols = ["t1.a", "t1.b", "t1.c", "t2.v", "t2.w"]
+        items = ", ".join(_num_expr(rng, cols, 2)
+                          for _ in range(rng.randrange(1, 3)))
+        q = f"SELECT {items} FROM t1 JOIN t2 ON t1.d = t2.w"
+        if rng.random() < 0.6:
+            q += f" WHERE {_bool_expr(rng, cols, 2)}"
+        return q
+    if shape < 13:                    # derived-table FROM (subquery)
+        inner_items = ", ".join(
+            f"{_num_expr(rng, T1_NUM, 2)} AS x{i}" for i in range(3))
+        inner = f"SELECT {inner_items} FROM t1"
+        if rng.random() < 0.6:
+            inner += f" WHERE {_bool_expr(rng, T1_NUM, 2)}"
+        cols = ["x0", "x1", "x2"]
+        items = ", ".join(_num_expr(rng, cols, 2)
+                          for _ in range(rng.randrange(1, 3)))
+        q = f"SELECT {items} FROM ({inner})"
+        if rng.random() < 0.5:
+            q += f" WHERE {_bool_expr(rng, cols, 2)}"
+        return q
+    # join + GROUP BY + aggregates [+ HAVING]
+    cols = ["t1.a", "t1.b", "t2.v"]
+    items = ", ".join(["t2.w", "COUNT(*)"]
+                      + [_agg_expr(rng, cols) for _ in range(2)])
+    q = f"SELECT {items} FROM t1 JOIN t2 ON t1.d = t2.w"
+    if rng.random() < 0.5:
+        q += f" WHERE {_bool_expr(rng, cols, 2)}"
+    q += " GROUP BY t2.w"
+    if rng.random() < 0.4:
+        q += f" HAVING {_having(rng, cols)}"
+    return q
+
+
+# ---------------------------------------------------------------------------
+# result comparison
+# ---------------------------------------------------------------------------
+
+def _norm(v):
+    """None stays None; bools → ints; every number → float."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return float(int(v))
+    if hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, bool):
+        return float(int(v))
+    return float(v)
+
+
+def _sort_key(row):
+    return tuple((v is not None, v if v is not None else 0.0) for v in row)
+
+
+def _row_close(rg, rw):
+    if len(rg) != len(rw):
+        return False
+    for vg, vw in zip(rg, rw):
+        if (vg is None) != (vw is None):
+            return False
+        if vg is not None and not math.isclose(vg, vw, rel_tol=1e-4,
+                                               abs_tol=1e-4):
+            return False
+    return True
+
+
+def _assert_same(q, got, want):
+    """Tolerant multiset equality: rows matched greedily within float
+    tolerance (the engine computes FLOAT columns in f32, sqlite in f64, so
+    sorting rows and zipping misaligns ties — e.g. 4.0 vs 3.99999…96)."""
+    assert len(got) == len(want), (
+        f"row count {len(got)} != {len(want)}\n  {q}\n  got={got}\n"
+        f"  want={want}")
+    g = sorted((tuple(_norm(v) for v in r) for r in got), key=_sort_key)
+    w = [tuple(_norm(v) for v in r) for r in want]
+    w.sort(key=_sort_key)
+    remaining = list(w)
+    for rg in g:
+        for i, rw in enumerate(remaining):
+            if _row_close(rg, rw):
+                del remaining[i]
+                break
+        else:
+            raise AssertionError(
+                f"unmatched row {rg!r}\n  {q}\n  got={g}\n  want={w}")
+
+
+def _run_differential(seed, n_queries):
+    con, lite, rng = _make_engines(seed)
+    for _ in range(n_queries):
+        q = _make_query(rng)
+        got = con.execute(q).fetchall()
+        want = lite.execute(q).fetchall()
+        _assert_same(q, got, want)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sql_differential_vs_sqlite(seed):
+    _run_differential(seed, n_queries=150)
+
+
+def test_float_expression_precision_consistency():
+    """Regression: expression evaluation must use ONE float width.
+
+    0.478 is not f32-exact; (a - i) evaluated in f64 but COALESCE/CASE
+    outputs demoted to f32 made `x <= COALESCE(x, 0)` FALSE for non-null
+    x (found by a non-dyadic variant of the differential fuzz; the dyadic
+    fuzz above cannot see width demotion, hence this directed test)."""
+    con = sql.connect()
+    con.execute("CREATE TABLE t(a FLOAT, i INTEGER)")
+    con.execute("INSERT INTO t VALUES (0.478, 7), (-3.141, 2), (NULL, 1)")
+    sub = "(SELECT (a - i) AS x FROM t)"
+    r = con.execute(
+        f"SELECT 1 FROM {sub} WHERE x <= COALESCE(x, 0)").fetchall()
+    assert len(r) == 2, r
+    r = con.execute(
+        f"SELECT 1 FROM {sub} WHERE x = (CASE WHEN 0 = 0 THEN x END)"
+    ).fetchall()
+    assert len(r) == 2, r
+    # aggregate results must not lose width either: SUM over the f64
+    # expression equals the f64 sum exactly
+    r = con.execute(f"SELECT SUM(x) FROM {sub}").fetchall()
+    want = (np.float32(0.478) - 7.0) + (np.float32(-3.141) - 2.0)
+    assert r[0][0] == want, (r, want)
