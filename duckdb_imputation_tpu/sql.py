@@ -924,9 +924,17 @@ class Connection:
                     # factorize so DESC works for strings/objects too
                     _, k = np.unique(np.asarray([str(v) for v in k]),
                                      return_inverse=True)
+                if k.dtype.kind == "f":
+                    k = np.where(col.null, 0.0, k)  # NaN breaks lexsort order
                 if desc:
                     k = -k.astype(np.float64) if k.dtype != bool else ~k
+                # DuckDB default NULL placement is NULLS LAST for both ASC
+                # and DESC (default_null_order); the null flag is the more
+                # significant component of this item's key, so NULL rows
+                # sort after every value (an INTEGER column's null slots
+                # hold 0 in data and would otherwise sort as 0)
                 keys.append(k)
+                keys.append(col.null)
             idx = np.lexsort(keys)
             out = out.take(idx)
         if hidden:

@@ -388,3 +388,24 @@ def test_factorized_join_equals_materialized_join(con):
         "t1.d, t1.e, t2.d, t2.f) FROM fj1 t1 "
         "INNER JOIN fj2 t2 ON t1.gb = t2.gb").fetchone()[0]
     assert fz == mat
+
+
+def test_order_by_nulls_last():
+    """DuckDB's default NULL placement is NULLS LAST for both ASC and DESC
+    (default_null_order) — including INTEGER columns, whose null slots hold
+    0 in the backing array and must not sort as the value 0."""
+    con = sql.connect()
+    con.execute("CREATE TABLE o(x FLOAT, y INTEGER)")
+    con.execute("INSERT INTO o VALUES (2.5, NULL), (NULL, -1), (1.5, 2), "
+                "(NULL, 0), (-0.5, 1)")
+    rows = con.execute("SELECT x FROM o ORDER BY x").fetchall()
+    assert [r[0] for r in rows] == [-0.5, 1.5, 2.5, None, None]
+    rows = con.execute("SELECT x FROM o ORDER BY x DESC").fetchall()
+    assert [r[0] for r in rows] == [2.5, 1.5, -0.5, None, None]
+    rows = con.execute("SELECT y FROM o ORDER BY y").fetchall()
+    assert [r[0] for r in rows] == [-1, 0, 1, 2, None]
+    rows = con.execute("SELECT y FROM o ORDER BY y DESC").fetchall()
+    assert [r[0] for r in rows] == [2, 1, 0, -1, None]
+    # two-key sort: primary NULLS LAST dominates the secondary ordering
+    rows = con.execute("SELECT y, x FROM o ORDER BY x, y DESC").fetchall()
+    assert rows == [(1, -0.5), (2, 1.5), (None, 2.5), (0, None), (-1, None)]
