@@ -243,7 +243,7 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
         _device_group_sort,
         _sigma_pallas_grouped_fast2_padded,
-        _sigma_pallas_grouped_unsorted_fast,
+        _sigma_pallas_grouped_unsorted_fast2,
     )
 
     pack, _ = _sizing(schema)
@@ -276,11 +276,11 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
             d=d_num, c=d_cat)
 
         def body_public(i, acc):
-            # the public one-shot method='pallas' dispatch at G=8: unsorted
-            # split-precision kernel (binary group masks), zero prep
-            # (weights perturbed to defeat loop hoisting; rounds away in
-            # the bf16 fold)
-            s = _sigma_pallas_grouped_unsorted_fast(
+            # the public one-shot method='pallas' dispatch at G=8: v2
+            # unsorted split-precision kernel (packed array built once,
+            # one MXU pass per group), zero prep (weights perturbed to
+            # defeat loop hoisting; rounds away in the bf16 fold)
+            s = _sigma_pallas_grouped_unsorted_fast2(
                 x, c, w + 1e-9 * i.astype(jnp.float32), g, schema=schema,
                 num_groups=groups, chunk_cols=2048)
             return acc + jnp.sum(s, axis=0)

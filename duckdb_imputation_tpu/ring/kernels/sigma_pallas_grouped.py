@@ -279,6 +279,116 @@ def _sigma_pallas_grouped_unsorted_fast(x_num, codes, weights, group_ids, *,
     return sigma.at[:, 1:1 + d, 1:1 + d].add(eecorr)
 
 
+def _grouped_unsorted_fast2_kernel(x_ref, codes_ref, w_ref, g_ref, out_ref,
+                                   *, schema: FeatureSchema, t_pad: int,
+                                   vpads: tuple[int, ...], seg_e: int,
+                                   p_seg: int, pack: int, chunk: int,
+                                   width: int, num_groups: int):
+    """Unsorted grouped Gram in the v2 packed layout (BINARY weights):
+    the [zw ‖ residual] packed array is built ONCE per block in f32 and
+    cast to bf16 unweighted (LHS); each group then pays one f32
+    mask-fold + bf16 cast + ONE MXU pass — out[g] += LHSᵀ·(W_g·LHS),
+    symmetric because W_g is diagonal, so the v2 epilogue applies
+    unchanged. Replaces the v1 three-dots-per-group form: ~2× less MXU
+    work per group (one [width,width] pass instead of s0+cor+ee) at
+    pack=4 vs 5."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    d = schema.num_cols
+    sizes = schema.cat_sizes
+    qt = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+
+    segs, wsegs = [], []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        top = jnp.broadcast_to((qt == 0).astype(jnp.float32),
+                               (t_pad, chunk))
+        for j in range(d):
+            top = top + (qt == 1 + j).astype(jnp.float32) \
+                * x_ref[j, sl][None, :]
+        segs.append(top)
+        for j, size in enumerate(sizes):
+            cj = codes_ref[j, sl][None, :]
+            cadj = jnp.where(cj < size, cj, -1)           # oov -> no hit
+            qj = jax.lax.broadcasted_iota(jnp.int32, (vpads[j], 1), 0)
+            segs.append((qj == cadj).astype(jnp.float32))
+        if seg_e:
+            segs.append(top - top.astype(jnp.bfloat16).astype(jnp.float32))
+        wsegs.append(w_ref[:, sl])
+    if pack * p_seg < width:
+        segs.append(jnp.zeros((width - pack * p_seg, chunk), jnp.float32))
+    arr = jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
+    lhs = arr.astype(jnp.bfloat16)
+
+    for gid in range(num_groups):
+        # per-pack-segment group mask folded in f32 (binary, so products
+        # stay exact through the bf16 cast); broadcast to that segment's
+        # p_seg sublane rows via a full-width row built from the pack masks
+        wrow = jnp.concatenate(
+            [jnp.broadcast_to(
+                wsegs[k] * (g_ref[:, pl.ds(k * chunk, chunk)] == gid
+                            ).astype(jnp.float32),
+                (p_seg, chunk)) for k in range(pack)]
+            + ([jnp.zeros((width - pack * p_seg, chunk), jnp.float32)]
+               if pack * p_seg < width else []),
+            axis=0) if pack > 1 or pack * p_seg < width else \
+            jnp.broadcast_to(
+                wsegs[0] * (g_ref[:, pl.ds(0, chunk)] == gid
+                            ).astype(jnp.float32), (p_seg, chunk))
+        rhs = (arr * wrow).astype(jnp.bfloat16)
+        out_ref[gid] += jax.lax.dot_general(
+            lhs, rhs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "num_groups",
+                                             "chunk_cols"))
+def _sigma_pallas_grouped_unsorted_fast2(x_num, codes, weights, group_ids, *,
+                                         schema: FeatureSchema,
+                                         num_groups: int, chunk_cols: int):
+    """Zero-prep unsorted grouped sigma at the v2 rate. Inputs must be
+    block-aligned (pad with weight 0); out-of-range group ids are dropped.
+    Returns f32[num_groups, P, P]."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = weights.shape[-1]
+    t_pad, vpads, seg_e, p_seg, pack, width = _sizing_fast2(schema)
+    block = pack * chunk_cols
+    n_blocks = n // block
+
+    out = pl.pallas_call(
+        functools.partial(_grouped_unsorted_fast2_kernel, schema=schema,
+                          t_pad=t_pad, vpads=vpads, seg_e=seg_e,
+                          p_seg=p_seg, pack=pack, chunk=chunk_cols,
+                          width=width, num_groups=num_groups),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((max(d, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_groups, width, width),
+                               lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_groups, width, width),
+                                       jnp.float32),
+    )(x_num if d else jnp.zeros((1, n), jnp.float32),
+      codes if c else jnp.zeros((1, n), jnp.int32),
+      weights.reshape(1, n),
+      jnp.asarray(group_ids, jnp.int32).reshape(1, n))
+
+    return jax.vmap(lambda o: _fast2_epilogue(
+        o, schema, t_pad, vpads, seg_e, p_seg, pack))(out)
+
+
 # Cap on resident output-slab VMEM for the unsorted kernel (f32 bytes);
 # beyond this the sort+slab path wins despite its prep cost.
 _UNSORTED_VMEM_BUDGET = 6 << 20
@@ -312,7 +422,8 @@ def sum_to_triple_grouped_unsorted(x_num, codes, group_ids, *,
         codes = jnp.zeros((0, n), jnp.int32)
     if weights is None:
         weights = jnp.ones((n,), jnp.float32)
-    pack, _ = _sizing(schema)
+    use_v2 = fast and _sizing_fast2(schema)[3] <= 128
+    pack = _sizing_fast2(schema)[4] if use_v2 else _sizing(schema)[0]
     block = pack * chunk_cols
     pad = (-n) % block
     x_in = jnp.asarray(x_num, jnp.float32)
@@ -326,7 +437,8 @@ def sum_to_triple_grouped_unsorted(x_num, codes, group_ids, *,
             c_in = jnp.pad(c_in, ((0, 0), (0, pad)))
         w_in = jnp.pad(w_in, (0, pad))
         g_in = jnp.pad(g_in, (0, pad), constant_values=-1)
-    kern = (_sigma_pallas_grouped_unsorted_fast if fast
+    kern = (_sigma_pallas_grouped_unsorted_fast2 if use_v2
+            else _sigma_pallas_grouped_unsorted_fast if fast
             else _sigma_pallas_grouped_unsorted)
     sigma = kern(x_in, c_in, w_in, g_in, schema=schema,
                  num_groups=num_groups, chunk_cols=chunk_cols)

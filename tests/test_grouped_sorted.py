@@ -223,3 +223,31 @@ def test_grouped_pallas_presorted_reuse():
         np.testing.assert_allclose(np.asarray(ref.quad),
                                    np.asarray(got.quad), rtol=1e-5,
                                    atol=1e-2)
+
+
+def test_grouped_pallas_unsorted_fast2_interpret():
+    """The v2 unsorted grouped kernel (packed array built once, one MXU
+    pass per group) matches the masked path: counts/one-hot exact, quad
+    within split-precision tolerance. Also pins the dispatch: fast +
+    narrow schema routes to the v2 kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
+        sum_to_triple_grouped_unsorted,
+    )
+    num, codes, g, schema = _data(n=6000, skew=True)
+    g = np.where(g == 4, -3, g).astype(np.int32)   # OOR dropped, grp 4 empty
+    with pltpu.force_tpu_interpret_mode():
+        got = sum_to_triple_grouped_unsorted(num, codes, g, schema=schema,
+                                             num_groups=7, fast=True,
+                                             chunk_cols=512)
+    ref = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
+                                method="masked")
+    np.testing.assert_array_equal(np.asarray(ref.n), np.asarray(got.n))
+    np.testing.assert_array_equal(np.asarray(ref.lin_cat),
+                                  np.asarray(got.lin_cat))
+    np.testing.assert_array_equal(np.asarray(ref.cat_cat),
+                                  np.asarray(got.cat_cat))
+    np.testing.assert_allclose(np.asarray(ref.quad), np.asarray(got.quad),
+                               rtol=1e-4, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ref.lin), np.asarray(got.lin),
+                               rtol=1e-4, atol=1e-2)
