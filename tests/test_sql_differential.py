@@ -326,3 +326,32 @@ def test_float_expression_precision_consistency():
     r = con.execute(f"SELECT SUM(x) FROM {sub}").fetchall()
     want = (np.float32(0.478) - 7.0) + (np.float32(-3.141) - 2.0)
     assert r[0][0] == want, (r, want)
+
+
+def test_malformed_queries_raise_sqlerror_only():
+    """Parser/evaluator robustness: mutated (token-deleted / duplicated /
+    swapped / garbage-injected) queries must either execute or raise
+    SQLError — never leak numpy/KeyError/IndexError internals."""
+    from duckdb_imputation_tpu.sql import SQLError
+    rng = random.Random(0)
+    con, _, qrng = _make_engines(0)
+    for _ in range(400):
+        toks = _make_query(qrng).split(" ")
+        m = rng.random()
+        if m < 0.4 and len(toks) > 2:
+            del toks[rng.randrange(len(toks))]
+        elif m < 0.7:
+            j = rng.randrange(len(toks))
+            toks.insert(j, toks[j])
+        elif m < 0.85:
+            j = rng.randrange(len(toks) - 1)
+            toks[j], toks[j + 1] = toks[j + 1], toks[j]
+        else:
+            toks.insert(rng.randrange(len(toks)),
+                        rng.choice(["$", "nosuchcol", ")", "(", "'unterm",
+                                    "9e999", "::", "FROM", ","]))
+        bad = " ".join(toks)
+        try:
+            con.execute(bad).fetchall()
+        except SQLError:
+            pass
