@@ -19,6 +19,18 @@ def cmd_impute(args):
     from .mice import run_mice_baseline, run_mice_high, run_mice_low
     from .utils.profiling import PhaseTimer
 
+    if args.mode == "stream":
+        from .mice.streaming import impute_csv_stream
+        timer = PhaseTimer(verbose=args.verbose)
+        res = impute_csv_stream(
+            args.csv, args.out, iters=args.iters, noise=not args.no_noise,
+            linreg_iters=args.linreg_iters, timer=timer,
+            block_bytes=args.block_mb << 20)
+        print(timer.report(), file=sys.stderr)
+        print(f"wrote {args.out} ({res.ss.n_rows} rows, "
+              f"{len(res.idx)} dirty)", file=sys.stderr)
+        return
+
     t = read_csv(args.csv)
     timer = PhaseTimer(verbose=args.verbose)
     runner = {"baseline": run_mice_baseline, "low": run_mice_low,
@@ -130,8 +142,13 @@ def main(argv=None):
     p = sub.add_parser("impute", help="MICE-impute a CSV")
     p.add_argument("csv")
     p.add_argument("--out", default="imputed.csv")
-    p.add_argument("--mode", choices=["baseline", "low", "high"],
-                   default="low")
+    p.add_argument("--mode", choices=["baseline", "low", "high", "stream"],
+                   default="low",
+                   help="stream = out-of-core: chunked two-pass streaming "
+                        "aggregation + delta rounds over the dirty cache; "
+                        "the file is never resident")
+    p.add_argument("--block-mb", type=int, default=64,
+                   help="streamed block size (stream mode)")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--linreg-iters", type=int, default=10000)
     p.add_argument("--no-noise", action="store_true",

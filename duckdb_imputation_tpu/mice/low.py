@@ -55,15 +55,38 @@ def run_mice_low(t: Table, num_null_cols=None, cat_null_cols=None,
     with timer.phase("prepare"):
         t = init_fill(t)
         parts = build_partitions(t)
-        schema = t.schema
-        if num_null_cols is None:
-            num_null_cols = [j for j in range(schema.num_cols)
-                             if len(parts.num_dirty_idx[j])]
-        if cat_null_cols is None:
-            cat_null_cols = [j for j in range(schema.cat_cols)
-                             if len(parts.cat_dirty_idx[j])]
     with timer.phase("cofactor_full"):
-        full = aggregate(t.num_data, t.cat_codes, None, schema=schema)
+        full = aggregate(t.num_data, t.cat_codes, None, schema=t.schema)
+    t, _ = run_delta_rounds(
+        t, full, parts, num_null_cols, cat_null_cols, iters,
+        lda_shrinkage=lda_shrinkage, linreg_step=linreg_step,
+        linreg_lambda=linreg_lambda, linreg_iters=linreg_iters,
+        noise=noise, seed=seed, timer=timer, on_iteration=on_iteration,
+        start_iter=start_iter, aggregate=aggregate)
+    return t
+
+
+def run_delta_rounds(t: Table, full, parts, num_null_cols=None,
+                     cat_null_cols=None, iters: int = 5, *,
+                     lda_shrinkage: float = 0.001,
+                     linreg_step: float = 0.001, linreg_lambda: float = 0.0,
+                     linreg_iters: int = 10000, noise: bool = True,
+                     seed: int = 0, timer: PhaseTimer | None = None,
+                     on_iteration=None, start_iter: int = 0,
+                     aggregate=sum_to_triple):
+    """The delta-round body of `run_MICE_low` (imputation_low.cpp:85-194),
+    factored out so the out-of-core streaming driver (mice/streaming.py) can
+    run the SAME rounds where `t` holds only the dirty-row cache and `full`
+    came from one streaming pass: the algebra never references clean rows
+    except through `full`. Returns (t, full) after the rounds."""
+    timer = timer or PhaseTimer()
+    schema = t.schema
+    if num_null_cols is None:
+        num_null_cols = [j for j in range(schema.num_cols)
+                         if len(parts.num_dirty_idx[j])]
+    if cat_null_cols is None:
+        cat_null_cols = [j for j in range(schema.cat_cols)
+                         if len(parts.cat_dirty_idx[j])]
     key = jax.random.PRNGKey(seed)
 
     for it in range(start_iter, iters):
@@ -115,4 +138,4 @@ def run_mice_low(t: Table, num_null_cols=None, cat_null_cols=None,
                 full = triple_add(train, _delta(t, idx, aggregate))
         if on_iteration is not None:
             on_iteration(t, it)
-    return t
+    return t, full

@@ -1,0 +1,163 @@
+"""Out-of-core MICE: the delta regime at datasets that don't fit in HBM.
+
+The reference's low-missing insight (`run_MICE_low`,
+/root/reference/imputation/algorithms/imputation_low.cpp:9-306) is that
+after ONE full aggregate, every retrain touches only dirty rows:
+train = full − delta. Taken to its limit, the clean rows never need to be
+resident at all — so this driver:
+
+  pass 0 (host):   vocab union + nullable detection + dirty-row cache
+  pass 1 (device): ONE streaming scan folds the extended Gram; its blocks
+                   assemble the mean/mode-FILLED full triple exactly
+                   (ring/streaming.py — the init fill is recovered from the
+                   Gram, no second pass)
+  rounds:          the standard delta rounds (mice/low.py run_delta_rounds)
+                   over the dirty cache only — O(dirty) per column per round
+  write-out:       `impute_chunks` re-streams the source, substituting the
+                   imputed values at the cached positions chunk by chunk.
+
+Peak memory: O(chunk + dirty rows + (P+K)²), independent of n.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ring.streaming import (Chunk, DirtyCache, StreamFills, StreamSchema,
+                              aggregate_stream, _normalize_chunk)
+from ..table.table import Table
+from ..utils.profiling import PhaseTimer
+from .low import run_delta_rounds
+from .partition import build_partitions
+
+
+def _dirty_table(cache: DirtyCache, ss: StreamSchema,
+                 fills: StreamFills) -> Table:
+    """Materialize the dirty-row cache as a Table, init-filled with the
+    stream-recovered means/modes (≙ init_baseline over just these rows)."""
+    schema = ss.schema
+    num = np.asarray(cache.num, np.float64).copy()
+    for j in range(schema.num_cols):
+        num[j, cache.num_null[j]] = fills.num_means[j]
+    if schema.cat_cols:
+        codes = schema.encode(cache.cat.T).T.astype(np.int32)
+        for j in range(schema.cat_cols):
+            codes[j, cache.cat_null[j]] = fills.cat_modes[j]
+    else:
+        codes = np.zeros((0, cache.idx.shape[0]), np.int32)
+    return Table(
+        num_data=jnp.asarray(num, jnp.float32),
+        cat_codes=jnp.asarray(codes, jnp.int32),
+        num_null=jnp.asarray(cache.num_null),
+        cat_null=jnp.asarray(cache.cat_null),
+        schema=schema)
+
+
+@dataclasses.dataclass
+class StreamImputation:
+    """Result of out-of-core MICE: everything needed to rewrite the source.
+
+    dirty: the imputed dirty rows (Table over ss.schema).
+    idx:   their global row indices (ascending).
+    """
+    dirty: Table
+    idx: np.ndarray
+    fills: StreamFills
+    ss: StreamSchema
+
+    def impute_chunks(self, chunk_source):
+        """Re-stream the source, yielding (num f32[d, m], cat i64[c, m])
+        chunks with every null cell replaced by its imputed value (numeric)
+        / imputed RAW category value. Chunks must arrive in the same order
+        as the aggregation passes saw them."""
+        schema = self.ss.schema
+        num_d = np.asarray(self.dirty.num_data)
+        cat_d = self.dirty.cat_values() if schema.cat_cols else None
+        pos = 0          # cursor into self.idx
+        row0 = 0
+        for raw in chunk_source():
+            num, cat, num_null, cat_null = _normalize_chunk(raw)
+            m = num.shape[-1] if num.shape[0] else cat.shape[-1]
+            out_num = num.copy()
+            out_cat = cat.copy()
+            hi = pos
+            while hi < len(self.idx) and self.idx[hi] < row0 + m:
+                hi += 1
+            if hi > pos:
+                local = self.idx[pos:hi] - row0
+                for j in range(schema.num_cols):
+                    nm = num_null[j, local]
+                    out_num[j, local[nm]] = num_d[j, pos:hi][nm]
+                for j in range(schema.cat_cols):
+                    cm = cat_null[j, local]
+                    out_cat[j, local[cm]] = cat_d[j, pos:hi][cm]
+            pos = hi
+            row0 += m
+            yield out_num, out_cat
+
+
+def run_mice_stream(chunk_source, iters: int = 5, *,
+                    chunk_rows: int | None = None,
+                    lda_shrinkage: float = 0.001,
+                    linreg_step: float = 0.001, linreg_lambda: float = 0.0,
+                    linreg_iters: int = 10000, noise: bool = True,
+                    seed: int = 0, timer: PhaseTimer | None = None
+                    ) -> StreamImputation:
+    """MICE over a chunk stream (callable → iterator of ring.streaming.Chunk
+    or (num, cat[, num_null, cat_null]) tuples). See module docstring."""
+    timer = timer or PhaseTimer()
+    kw = dict(chunk_rows=chunk_rows) if chunk_rows else {}
+    with timer.phase("stream_aggregate"):
+        full, fills, ss, cache = aggregate_stream(chunk_source, **kw)
+    with timer.phase("prepare"):
+        t = _dirty_table(cache, ss, fills)
+        parts = build_partitions(t)
+    t, _ = run_delta_rounds(
+        t, full, parts, iters=iters, lda_shrinkage=lda_shrinkage,
+        linreg_step=linreg_step, linreg_lambda=linreg_lambda,
+        linreg_iters=linreg_iters, noise=noise, seed=seed, timer=timer)
+    return StreamImputation(dirty=t, idx=cache.idx, fills=fills, ss=ss)
+
+
+def impute_csv_stream(in_path: str, out_path: str, iters: int = 5, *,
+                      has_header: bool = True, block_bytes: int = 64 << 20,
+                      noise: bool = True, seed: int = 0,
+                      timer: PhaseTimer | None = None,
+                      **mice_kw) -> StreamImputation:
+    """Out-of-core CSV → CSV imputation: two streaming read passes through
+    the native chunked parser (vocab/dirty scan, then the device Gram
+    fold), delta MICE rounds over the dirty cache, and one streaming write
+    pass. Peak host memory is O(block + dirty rows); the file is never
+    resident. Int-typed columns keep %d formatting on the way out
+    (values are exact up to 2^53)."""
+    from ..table.native import CsvStream, csv_chunk_source
+
+    timer = timer or PhaseTimer()
+    source = csv_chunk_source(in_path, has_header, block_bytes)
+    res = run_mice_stream(source, iters=iters, noise=noise, seed=seed,
+                          timer=timer, **mice_kw)
+
+    # column order/types of the file (decided from the first chunk,
+    # exactly as both aggregation passes saw them)
+    probe = CsvStream(in_path, has_header, 1 << 16)
+    names = probe.col_names
+    nt = probe.next_chunk()
+    kinds = [nt.is_numeric(c) for c in range(nt.n_cols)]
+    del nt, probe
+
+    with timer.phase("write_out"), open(out_path, "w") as f:
+        f.write(",".join(names) + "\n")
+        fmt = ["%.9g" if k else "%d" for k in kinds]
+        for num, cat in res.impute_chunks(source):
+            cols, ni, ci = [], 0, 0
+            for k in kinds:
+                if k:
+                    cols.append(num[ni].astype(np.float64))
+                    ni += 1
+                else:
+                    cols.append(cat[ci].astype(np.float64))
+                    ci += 1
+            np.savetxt(f, np.stack(cols, axis=1), fmt=fmt, delimiter=",")
+    return res

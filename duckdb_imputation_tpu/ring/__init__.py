@@ -22,6 +22,8 @@ from .sum import (
     sum_triples,
 )
 from .striped import sigma_stripe, sigma_striped
+from .streaming import (Chunk, aggregate_stream, assemble_filled_triple,
+                        chunks_from_arrays)
 from .serialize import (
     dict_to_nb,
     dict_to_triple,
@@ -39,4 +41,6 @@ __all__ = [
     "sum_to_triple_grouped", "sum_triples", "dict_to_nb", "dict_to_triple",
     "nb_to_dict", "pack_upper", "triple_to_dict", "unpack_upper",
     "sigma_stripe", "sigma_striped",
+    "Chunk", "aggregate_stream", "assemble_filled_triple",
+    "chunks_from_arrays",
 ]

@@ -61,6 +61,17 @@ def load_library() -> ctypes.CDLL:
                                      ctypes.POINTER(ctypes.c_float)]
     lib.dbi_swap_col_codes.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.POINTER(ctypes.c_int32)]
+    lib.dbi_csv_open.restype = ctypes.c_void_p
+    lib.dbi_csv_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    lib.dbi_csv_stream_error.restype = ctypes.c_char_p
+    lib.dbi_csv_stream_error.argtypes = [ctypes.c_void_p]
+    lib.dbi_csv_stream_ncols.restype = ctypes.c_int64
+    lib.dbi_csv_stream_ncols.argtypes = [ctypes.c_void_p]
+    lib.dbi_csv_stream_col_name.restype = ctypes.c_char_p
+    lib.dbi_csv_stream_col_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_csv_next_chunk.restype = ctypes.c_void_p
+    lib.dbi_csv_next_chunk.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_csv_close.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -165,3 +176,72 @@ def read_csv(path: str, has_header: bool = True) -> Table:
     """CSV -> device Table in one call (the framework's data-loading front
     door)."""
     return load_csv(path, has_header).to_table()
+
+
+class CsvStream:
+    """Chunked native CSV reader for the out-of-core path: each
+    next_chunk() parses ~block_bytes on CPU threads and returns a
+    standalone NativeTable. Column types are fixed from the first chunk.
+    Column split (numeric vs categorical, file order within kind) matches
+    NativeTable.to_table so streamed and resident schemas line up."""
+
+    def __init__(self, path: str, has_header: bool = True,
+                 block_bytes: int = 64 << 20, n_threads: int = 0):
+        self._lib = load_library()
+        self._h = self._lib.dbi_csv_open(
+            path.encode(), 1 if has_header else 0, n_threads)
+        self.block_bytes = block_bytes
+        err = self._lib.dbi_csv_stream_error(self._h)
+        if err:
+            raise RuntimeError(err.decode())
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.dbi_csv_close(self._h)
+            self._h = None
+
+    @property
+    def col_names(self) -> tuple[str, ...]:
+        n = self._lib.dbi_csv_stream_ncols(self._h)
+        return tuple(self._lib.dbi_csv_stream_col_name(self._h, c).decode()
+                     for c in range(n))
+
+    def next_chunk(self) -> NativeTable | None:
+        h = self._lib.dbi_csv_next_chunk(self._h, self.block_bytes)
+        if not h:
+            err = self._lib.dbi_csv_stream_error(self._h)
+            if err:
+                raise RuntimeError(err.decode())
+            return None
+        return NativeTable(h, self._lib)
+
+
+def csv_chunk_source(path: str, has_header: bool = True,
+                     block_bytes: int = 64 << 20, n_threads: int = 0):
+    """Chunk source over a CSV file for ring.streaming / mice.streaming:
+    a callable returning an iterator of (num, cat, num_null, cat_null)
+    features-first chunks. Each call re-opens the file (the streaming
+    aggregation makes two passes). The chunk arrays COPY out of the native
+    buffers so the NativeTable can be freed eagerly."""
+
+    def source():
+        stream = CsvStream(path, has_header, block_bytes, n_threads)
+        while True:
+            nt = stream.next_chunk()
+            if nt is None:
+                return
+            num_idx = [c for c in range(nt.n_cols) if nt.is_numeric(c)]
+            cat_idx = [c for c in range(nt.n_cols) if not nt.is_numeric(c)]
+            m = nt.n_rows
+            num = np.empty((len(num_idx), m), np.float32)
+            num_null = np.empty((len(num_idx), m), bool)
+            for j, c in enumerate(num_idx):
+                num[j] = nt.col_f32(c)
+                num_null[j] = nt.col_null(c)
+            cat = np.empty((len(cat_idx), m), np.int64)
+            cat_null = np.empty((len(cat_idx), m), bool)
+            for j, c in enumerate(cat_idx):
+                cat[j] = nt.col_i64(c)
+                cat_null[j] = nt.col_null(c)
+            yield num, cat, num_null, cat_null
+    return source

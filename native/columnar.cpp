@@ -331,6 +331,181 @@ void dbi_swap_col_codes(void* h, int64_t c, const int32_t* codes) {
   }
 }
 
-int64_t dbi_version() { return 1; }
+// ---- streaming CSV reader (out-of-core path) ----
+//
+// Chunked re-entrant parser for files that must not be resident: each
+// dbi_csv_next_chunk call reads ~max_bytes (cut at a newline boundary),
+// parses it with the same row-range-partitioned multithreaded scheme as
+// dbi_load_csv, and returns a standalone chunk Table (caller frees).
+// Column types are decided from the FIRST chunk and held fixed for the
+// stream (like pandas' chunked readers); later float tokens in an
+// int-typed column are rounded. Chunk tables carry raw values + null
+// masks only — the global vocab union across chunks is built by the
+// Python stream scan (ring/streaming.py scan_schema), since no single
+// chunk sees the whole key space.
+
+namespace {
+
+struct CsvStream {
+  std::ifstream f;
+  std::vector<std::string> names;
+  std::vector<uint8_t> col_is_numeric;
+  bool types_decided = false;
+  std::string carry;   // bytes after the last newline of the previous block
+  std::string error;
+  bool eof = false;
+  int n_threads = 1;
+};
+
+}  // namespace
+
+void* dbi_csv_open(const char* path, int has_header, int n_threads) {
+  auto* s = new CsvStream();
+  if (n_threads <= 0) {
+    n_threads = int(std::thread::hardware_concurrency());
+    if (n_threads <= 0) n_threads = 1;
+  }
+  s->n_threads = n_threads;
+  s->f.open(path, std::ios::binary);
+  if (!s->f) {
+    s->error = "cannot open file";
+    return s;
+  }
+  std::string line;
+  if (!std::getline(s->f, line)) {
+    s->error = "empty file";
+    s->eof = true;
+    return s;
+  }
+  if (!line.empty() && line.back() == '\r') line.pop_back();
+  size_t start = 0;
+  for (size_t i = 0; i <= line.size(); i++) {
+    if (i == line.size() || line[i] == ',') {
+      s->names.emplace_back(line, start, i - start);
+      start = i + 1;
+    }
+  }
+  if (!has_header) {
+    // first line is data: hand it to the first chunk
+    s->carry = line + "\n";
+    for (size_t k = 0; k < s->names.size(); k++)
+      s->names[k] = "col" + std::to_string(k);
+  }
+  return s;
+}
+
+const char* dbi_csv_stream_error(void* sh) {
+  return static_cast<CsvStream*>(sh)->error.c_str();
+}
+
+int64_t dbi_csv_stream_ncols(void* sh) {
+  return int64_t(static_cast<CsvStream*>(sh)->names.size());
+}
+
+const char* dbi_csv_stream_col_name(void* sh, int64_t c) {
+  return static_cast<CsvStream*>(sh)->names[c].c_str();
+}
+
+void dbi_csv_close(void* sh) { delete static_cast<CsvStream*>(sh); }
+
+void* dbi_csv_next_chunk(void* sh, int64_t max_bytes) {
+  auto* s = static_cast<CsvStream*>(sh);
+  if (!s->error.empty()) return nullptr;
+  if (s->eof && s->carry.empty()) return nullptr;
+
+  std::string buf = std::move(s->carry);
+  s->carry.clear();
+  if (!s->eof) {
+    size_t want = size_t(max_bytes > 0 ? max_bytes : (size_t(64) << 20));
+    size_t off = buf.size();
+    buf.resize(off + want);
+    s->f.read(&buf[off], std::streamsize(want));
+    size_t got = size_t(s->f.gcount());
+    buf.resize(off + got);
+    if (got < want) s->eof = true;
+  }
+  if (!s->eof) {
+    size_t cut = buf.find_last_of('\n');
+    if (cut == std::string::npos) {
+      // one line longer than the block: finish it
+      std::string rest;
+      if (std::getline(s->f, rest)) {
+        buf += rest;
+        buf += '\n';
+      } else {
+        s->eof = true;
+      }
+    } else {
+      s->carry = buf.substr(cut + 1);
+      buf.resize(cut + 1);
+    }
+  }
+  if (buf.empty() || buf.find_first_not_of("\r\n") == std::string::npos) {
+    return s->eof ? nullptr : dbi_csv_next_chunk(sh, max_bytes);
+  }
+  if (buf.back() != '\n') buf.push_back('\n');
+
+  const char* data = buf.data();
+  const size_t size = buf.size();
+  const size_t ncols = s->names.size();
+  int nt = s->n_threads;
+  std::vector<size_t> bounds{0};
+  for (int k = 1; k < nt; k++) {
+    size_t target = size * size_t(k) / size_t(nt);
+    while (target < size && data[target] != '\n') target++;
+    if (target < size) target++;
+    bounds.push_back(std::min(target, size));
+  }
+  bounds.push_back(size);
+  std::sort(bounds.begin(), bounds.end());
+
+  std::vector<Shard> shards(bounds.size() - 1);
+  std::vector<std::thread> threads;
+  for (size_t k = 0; k + 1 < bounds.size(); k++) {
+    threads.emplace_back(parse_range, data, bounds[k], bounds[k + 1], ncols,
+                         &shards[k]);
+  }
+  for (auto& th : threads) th.join();
+
+  if (!s->types_decided) {
+    s->col_is_numeric.assign(ncols, 0);
+    for (size_t c = 0; c < ncols; c++) {
+      for (auto& sh2 : shards) s->col_is_numeric[c] |= sh2.is_float[c][0];
+    }
+    s->types_decided = true;
+  }
+
+  auto* t = new Table();
+  int64_t n_rows = 0;
+  for (auto& sd : shards) n_rows += sd.rows;
+  t->n_rows = n_rows;
+  t->cols.resize(ncols);
+  for (size_t c = 0; c < ncols; c++) {
+    Column& col = t->cols[c];
+    col.name = s->names[c];
+    col.is_numeric = s->col_is_numeric[c] != 0;
+    col.null_mask.reserve(n_rows);
+    if (col.is_numeric) {
+      col.f32.reserve(n_rows);
+      for (auto& sd : shards) {
+        for (int64_t i = 0; i < sd.rows; i++) {
+          col.f32.push_back(float(sd.nums[c][i]));
+          col.null_mask.push_back(sd.nulls[c][i]);
+        }
+      }
+    } else {
+      col.i64.reserve(n_rows);
+      for (auto& sd : shards) {
+        for (int64_t i = 0; i < sd.rows; i++) {
+          col.i64.push_back(int64_t(llround(sd.nums[c][i])));
+          col.null_mask.push_back(sd.nulls[c][i]);
+        }
+      }
+    }
+  }
+  return t;
+}
+
+int64_t dbi_version() { return 2; }
 
 }  // extern "C"
