@@ -330,9 +330,13 @@ def sum_to_triple_grouped(x_num, codes, group_ids, *, schema: FeatureSchema,
     if method == "sorted":
         g = np.asarray(jax.device_get(jnp.asarray(group_ids)))
         order = np.argsort(g, kind="stable")
-        counts = np.bincount(np.clip(g, 0, num_groups),
-                             minlength=num_groups + 1)[:num_groups]
-        ends = np.cumsum(counts)
+        # out-of-range ids are DROPPED (same contract as the masked path):
+        # after the sort, negatives sit before segment 0 and ids >= G after
+        # the last segment, so offsetting the segment starts by the negative
+        # count excludes both.
+        valid = (g >= 0) & (g < num_groups)
+        counts = np.bincount(g[valid], minlength=num_groups)
+        ends = int((g < 0).sum()) + np.cumsum(counts)
         starts = ends - counts
         jord = jnp.asarray(order)
         xs = x_num[:, jord]
