@@ -25,11 +25,13 @@ Supported statement surface (everything the reference emits):
     single column of table `rep`, then drops `rep`
     (duckdb_imputation.patch:26-175,178-204)
   * SELECT expr [AS alias], … FROM t | (subquery) | (sub JOIN sub ON …)
-      [WHERE …] [GROUP BY …] [HAVING …] [ORDER BY …] [LIMIT n]
-    with DISTINCT, CASE WHEN, IS [NOT] NULL/TRUE/FALSE, `expr::TYPE`
-    casts (incl. `::STRUCT(…)` over triple literals — the reference
-    round-trips triples as SQL text, imputation_base.cpp:46), list
-    literals, scalar subqueries, and 3-valued NULL logic.
+      [WHERE …] [GROUP BY …] [HAVING …] [ORDER BY …] [LIMIT n [OFFSET m]]
+    with DISTINCT, CASE WHEN, IS [NOT] NULL/TRUE/FALSE, [NOT] BETWEEN,
+    [NOT] IN (value list | subquery), `expr::TYPE` casts (incl.
+    `::STRUCT(…)` over triple literals — the reference round-trips
+    triples as SQL text, imputation_base.cpp:46), list literals, scalar
+    subqueries, and 3-valued NULL logic (including the empty-set rule:
+    `x IN ()` is FALSE even for NULL x).
 
 Functions: the full extension registration surface
 (duckdb_imputation_extension.cpp:48-249) — to_cofactor, sum_triple,
@@ -122,7 +124,7 @@ _KEYWORDS = {
     "values", "drop", "if", "exists", "alter", "column", "set", "default",
     "case", "when", "then", "else", "end", "and", "or", "not", "null",
     "true", "false", "is", "join", "inner", "left", "cross", "on", "using",
-    "cast", "view", "add",
+    "cast", "view", "add", "between", "in", "offset",
 }
 
 
@@ -314,8 +316,9 @@ class _Parser:
                 if not self.eat_op(","):
                     break
         if self.eat_kw("limit"):
-            k, v = self.next()
-            limit = int(v)
+            limit = (self._int_token("LIMIT"), 0)
+            if self.eat_kw("offset"):
+                limit = (limit[0], self._int_token("OFFSET"))
         return ("select", items, frm, where, group_by, having, order_by,
                 limit, distinct)
 
@@ -409,7 +412,45 @@ class _Parser:
             if op:
                 e = ("cmp", "<>" if op == "!=" else op, e, self.add_expr())
                 continue
+            if self.eat_kw("between"):
+                lo = self.add_expr()
+                self.expect_kw("and")
+                e = ("between", e, lo, self.add_expr(), False)
+                continue
+            if self.eat_kw("in"):
+                e = ("in", e, self._in_items(), False)
+                continue
+            if self.at_kw("not"):
+                # postfix NOT can only introduce NOT BETWEEN / NOT IN
+                self.next()
+                if self.eat_kw("between"):
+                    lo = self.add_expr()
+                    self.expect_kw("and")
+                    e = ("between", e, lo, self.add_expr(), True)
+                    continue
+                if self.eat_kw("in"):
+                    e = ("in", e, self._in_items(), True)
+                    continue
+                raise SQLError("expected BETWEEN or IN after NOT")
             return e
+
+    def _int_token(self, what):
+        k, v = self.next()
+        if k != "num" or not float(v).is_integer():
+            raise SQLError(f"{what} expects an integer literal")
+        return int(v)
+
+    def _in_items(self):
+        self.expect_op("(")
+        if self.at_kw("select"):
+            sub = self.select()
+            self.expect_op(")")
+            return ("insub", sub)
+        items = [self.expr()]
+        while self.eat_op(","):
+            items.append(self.expr())
+        self.expect_op(")")
+        return ("inlist", items)
 
     def add_expr(self):
         e = self.mul_expr()
@@ -940,7 +981,9 @@ class Connection:
         if hidden:
             out = Relation(out.names[:n_vis], out.cols[:n_vis])
         if limit is not None:
-            out = out.take(np.arange(min(limit, out.n)))
+            count, offset = limit
+            lo = min(offset, out.n)
+            out = out.take(np.arange(lo, min(lo + count, out.n)))
         return out
 
     def _from_rel(self, frm) -> Relation:
@@ -1102,6 +1145,37 @@ class Connection:
         if kind == "not":
             v = self._eval_scalar(e[1], grel, env)
             return None if v is None else not bool(v)
+        if kind == "between":
+            v = self._eval_scalar(e[1], grel, env)
+            lo = self._eval_scalar(e[2], grel, env)
+            hi = self._eval_scalar(e[3], grel, env)
+            c1 = None if (v is None or lo is None) else bool(v >= lo)
+            c2 = None if (v is None or hi is None) else bool(v <= hi)
+            if c1 is False or c2 is False:
+                out = False
+            elif c1 is None or c2 is None:
+                out = None
+            else:
+                out = True
+            return None if out is None else (not out if e[4] else out)
+        if kind == "in":
+            v = self._eval_scalar(e[1], grel, env)
+            spec = e[2]
+            if spec[0] == "insub":
+                sub = self._run_select(spec[1])
+                if len(sub.cols) != 1:
+                    raise SQLError("IN subquery must return one column")
+                cands = [_pyval(sub.cols[0], r) for r in range(sub.n)]
+            else:
+                cands = [self._eval_scalar(x, grel, env) for x in spec[1]]
+            if any(v is not None and c is not None and v == c
+                   for c in cands):
+                out = True
+            elif (v is None and cands) or any(c is None for c in cands):
+                out = None
+            else:
+                out = False
+            return None if out is None else (not out if e[3] else out)
         if kind == "isnull":
             v = self._eval_scalar(e[1], grel, env)
             return (v is not None) if e[2] else (v is None)
@@ -1340,6 +1414,44 @@ class Connection:
             else:
                 d = x >= y
             return Column(np.asarray(d, bool), null, "b")
+        if kind == "between":
+            # x BETWEEN lo AND hi ≡ (x >= lo AND x <= hi) with full 3VL
+            a = self._eval(e[1], rel)
+            lo, hi = self._eval(e[2], rel), self._eval(e[3], rel)
+            c1 = Column(np.asarray(a.data >= lo.data, bool),
+                        a.null | lo.null, "b")
+            c2 = Column(np.asarray(a.data <= hi.data, bool),
+                        a.null | hi.null, "b")
+            av, bv = _truthy(c1), _truthy(c2)
+            null = (c1.null | c2.null) & ~(~av & ~c1.null) & ~(~bv & ~c2.null)
+            d = av & bv & ~null
+            if e[4]:                          # NOT BETWEEN: 3VL negation
+                d = ~d & ~null
+            return Column(d, null, "b")
+        if kind == "in":
+            # x IN (v…): TRUE on any non-null match; else NULL if x or any
+            # candidate is NULL; else FALSE. TRUE dominates NULL.
+            a = self._eval(e[1], rel)
+            spec = e[2]
+            if spec[0] == "insub":
+                sub = self._run_select(spec[1])
+                if len(sub.cols) != 1:
+                    raise SQLError("IN subquery must return one column")
+                cands = [_broadcast(_pyval(sub.cols[0], r), n)
+                         for r in range(sub.n)]
+            else:
+                cands = [self._eval(x, rel) for x in spec[1]]
+            matched = np.zeros(n, bool)
+            # x IN (<empty set>) is FALSE even for NULL x — NULL x only
+            # becomes UNKNOWN when there are candidates to be unknown about
+            anynull = a.null.copy() if cands else np.zeros(n, bool)
+            for c in cands:
+                matched |= np.asarray(a.data == c.data, bool) \
+                    & ~a.null & ~c.null
+                anynull |= c.null
+            null = anynull & ~matched
+            d = (~matched & ~null) if e[3] else matched
+            return Column(d, null, "b")
         if kind == "and":
             a, b = self._eval(e[1], rel), self._eval(e[2], rel)
             av, bv = _truthy(a), _truthy(b)

@@ -123,10 +123,26 @@ def _num_expr(rng, cols, depth):
 def _bool_expr(rng, cols, depth):
     if depth <= 0 or rng.random() < 0.4:
         r = rng.random()
-        if r < 0.75:
+        if r < 0.6:
             op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
             return (f"({_num_expr(rng, cols, 1)} {op} "
                     f"{_num_expr(rng, cols, 1)})")
+        if r < 0.72:                  # [NOT] BETWEEN (3VL on all 3 operands)
+            neg = "NOT " if rng.random() < 0.4 else ""
+            return (f"({_num_expr(rng, cols, 1)} {neg}BETWEEN "
+                    f"{_num_expr(rng, cols, 0)} AND "
+                    f"{_num_expr(rng, cols, 0)})")
+        if r < 0.84:                  # [NOT] IN value list (may hold NULL)
+            neg = "NOT " if rng.random() < 0.4 else ""
+            items = ", ".join(_num_expr(rng, cols, 0)
+                              for _ in range(rng.randrange(1, 4)))
+            return f"({_num_expr(rng, cols, 1)} {neg}IN ({items}))"
+        if r < 0.9:                   # [NOT] IN subquery
+            neg = "NOT " if rng.random() < 0.4 else ""
+            sub = "SELECT w FROM t2"
+            if rng.random() < 0.5:
+                sub += f" WHERE v > {rng.randrange(-2, 3)}"
+            return f"({rng.choice(cols)} {neg}IN ({sub}))"
         neg = "NOT " if rng.random() < 0.5 else ""
         return f"({rng.choice(cols)} IS {neg}NULL)"
     kind = rng.randrange(3)
@@ -174,7 +190,21 @@ def _having(rng, cols):
 
 
 def _make_query(rng):
-    shape = rng.randrange(14)
+    shape = rng.randrange(15)
+    if shape == 14:                   # ORDER BY unique key + LIMIT/OFFSET
+        # the id column is unique and non-null, so both engines agree on
+        # the selected row set even though general ORDER BY NULL placement
+        # differs (see module docstring)
+        items = ", ".join(["id"] + [_num_expr(rng, T1_NUM, 2)
+                                    for _ in range(rng.randrange(1, 3))])
+        q = f"SELECT {items} FROM t1"
+        if rng.random() < 0.6:
+            q += f" WHERE {_bool_expr(rng, T1_NUM, 2)}"
+        q += f" ORDER BY id ORDER_DIR LIMIT {rng.randrange(1, 20)}"
+        q = q.replace("ORDER_DIR", rng.choice(["ASC", "DESC"]))
+        if rng.random() < 0.5:
+            q += f" OFFSET {rng.randrange(0, 10)}"
+        return q
     if shape < 4:                     # plain projection [+ WHERE] [DISTINCT]
         distinct = "DISTINCT " if shape == 3 else ""
         items = ", ".join(_num_expr(rng, T1_NUM, 3)
