@@ -51,6 +51,151 @@ def cmd_impute(args):
     print(f"wrote {args.out} ({out.n_rows} rows)", file=sys.stderr)
 
 
+def cmd_train(args):
+    """Train one model from a CSV and persist the flat parameter vector
+    (the serving path the reference lacks — its models live only as FLOAT[]
+    values inside one SQL connection, imputation_base.cpp:46-49).
+
+    Training uses complete rows only: the aggregate rides a weight mask
+    that zeroes any row with a null in ANY column — the
+    `WHERE <col>_IS_NULL IS FALSE` predicate fused into the kernel."""
+    from .table.native import read_csv
+    from .ring.sum import (sum_to_nb_agg_grouped, sum_to_triple,
+                           sum_to_triple_grouped)
+    from .models import lda_train, linreg_train, nb_train, qda_train
+    from .models.io import ModelBundle, save_model
+
+    t = read_csv(args.csv)
+    obs = ~(np.asarray(t.num_null).any(0) | np.asarray(t.cat_null).any(0))
+    w = obs.astype(np.float32)
+    label = args.label
+
+    if args.model == "linreg":
+        if label not in t.num_names:
+            raise SystemExit(f"label {label!r} is not a numeric column "
+                             f"(have {t.num_names})")
+        j = t.num_names.index(label)
+        triple = sum_to_triple(t.num_data, t.cat_codes, w, schema=t.schema)
+        params = linreg_train(
+            triple, t.schema, label=j, step_size=args.step_size,
+            lam=args.lam, max_iters=args.max_iters,
+            compute_variance=args.variance, normalize=args.normalize)
+        bundle = ModelBundle("linreg", params, t.schema, t.num_names,
+                             t.cat_names, label, "num", (),
+                             args.normalize, args.variance)
+    else:
+        if label not in t.cat_names:
+            raise SystemExit(f"label {label!r} is not a categorical column "
+                             f"(have {t.cat_names})")
+        j = t.cat_names.index(label)
+        label_keys = t.schema.cat_keys[j]
+        if args.model == "lda":
+            triple = sum_to_triple(t.num_data, t.cat_codes, w,
+                                   schema=t.schema)
+            params = lda_train(triple, t.schema, label=j,
+                               shrinkage=args.shrinkage,
+                               normalize=args.normalize)
+            bundle = ModelBundle("lda", params, t.schema, t.num_names,
+                                 t.cat_names, label, "cat", label_keys,
+                                 args.normalize, False)
+        else:
+            # QDA/NB: label column excluded from features; one triple per
+            # class via the grouped kernel (GROUP BY label)
+            fs = t.schema.without_cat(j)
+            rows = [r for r in range(t.schema.cat_cols) if r != j]
+            codes = (np.asarray(t.cat_codes)[rows] if rows
+                     else np.zeros((0, t.n_rows), np.int32))
+            g = np.where(obs, np.asarray(t.cat_codes)[j], -1).astype(np.int32)
+            labels = list(label_keys)
+            if args.model == "qda":
+                triples = sum_to_triple_grouped(
+                    t.num_data, codes, g, schema=fs, num_groups=len(labels))
+                params = qda_train(triples, fs, labels=labels,
+                                   normalize=args.normalize)
+            else:
+                aggs = sum_to_nb_agg_grouped(
+                    t.num_data, codes, g, schema=fs, num_groups=len(labels))
+                params = nb_train(aggs, fs, labels=labels)
+            feat_cat_names = tuple(nm for k, nm in enumerate(t.cat_names)
+                                   if k != j)
+            bundle = ModelBundle(args.model, params, fs, t.num_names,
+                                 feat_cat_names, label, "cat",
+                                 label_keys, args.normalize, False)
+    save_model(args.out, bundle)
+    print(f"wrote {args.out} ({args.model}, label={label}, "
+          f"{len(bundle.params)} params, {int(obs.sum())} training rows)",
+          file=sys.stderr)
+
+
+def cmd_predict(args):
+    """Batch prediction from a saved bundle: featurize by column NAME,
+    re-encode categoricals against the TRAINING vocab (unseen values hit
+    the find_in_array miss convention: contribute 0 / probability 0).
+    Rows with missing feature cells get placeholder-filled features —
+    impute first for meaningful predictions on those rows."""
+    from .table.native import read_csv
+    from .models import (lda_predict, linreg_predict, nb_predict,
+                         qda_predict)
+    from .models.io import load_model
+    import jax
+
+    b = load_model(args.params)
+    t = read_csv(args.csv)
+    raw_cat = t.cat_values()
+
+    def num_block(names):
+        missing = [nm for nm in names if nm not in t.num_names]
+        if missing:
+            raise SystemExit(f"CSV lacks numeric columns {missing}")
+        return np.asarray(t.num_data)[[t.num_names.index(nm)
+                                       for nm in names]]
+
+    def cat_block(names, schema):
+        missing = [nm for nm in names if nm not in t.cat_names]
+        if missing:
+            raise SystemExit(f"CSV lacks categorical columns {missing}")
+        raw = raw_cat[[t.cat_names.index(nm) for nm in names]]
+        return schema.encode(raw.T).T.astype(np.int32)
+
+    if b.model == "linreg":
+        feat_names = [nm for nm in b.num_names if nm != b.label_name]
+        x = num_block(feat_names)
+        codes = cat_block(b.cat_names, b.schema) if b.cat_names else None
+        key = jax.random.PRNGKey(args.seed)
+        pred = np.asarray(linreg_predict(
+            b.params, x, codes, add_noise=args.noise,
+            normalize=b.normalize, key=key))
+    elif b.model == "lda":
+        j = b.cat_names.index(b.label_name)
+        x = num_block(b.num_names)
+        other = [nm for k, nm in enumerate(b.cat_names) if k != j]
+        codes = (cat_block(other, b.schema.without_cat(j))
+                 if other else None)
+        idx = np.asarray(lda_predict(b.params, x, codes,
+                                     normalize=b.normalize))
+        # the reference returns the 0-based class INDEX (lda.cpp:575);
+        # the CLI maps it to the actual label value
+        pred = np.asarray(b.label_keys, np.int64)[idx]
+    elif b.model == "qda":
+        x = num_block(b.num_names)
+        codes = cat_block(b.cat_names, b.schema) if b.cat_names else None
+        pred = np.asarray(qda_predict(b.params, x, codes,
+                                      normalize=b.normalize))
+    else:
+        x = num_block(b.num_names)
+        codes = cat_block(b.cat_names, b.schema) if b.cat_names else None
+        pred = np.asarray(nb_predict(b.params, x, codes))
+
+    col = f"{b.label_name}_pred"
+    with open(args.out, "w") as f:
+        f.write(col + "\n")
+        if b.label_kind == "cat" or b.model in ("qda", "nb"):
+            f.write("\n".join(str(int(v)) for v in pred) + "\n")
+        else:
+            f.write("\n".join(f"{v:.7g}" for v in pred) + "\n")
+    print(f"wrote {args.out} ({len(pred)} predictions)", file=sys.stderr)
+
+
 def cmd_bench(args):
     """The BASELINE.json configs (BASELINE.md)."""
     import time
@@ -155,6 +300,37 @@ def main(argv=None):
                    help="deterministic regression imputation")
     p.add_argument("--verbose", action="store_true")
     p.set_defaults(fn=cmd_impute)
+
+    p = sub.add_parser("train", help="train a model from a CSV, save the "
+                                     "flat parameter bundle (.npz)")
+    p.add_argument("csv")
+    p.add_argument("--model", required=True,
+                   choices=["linreg", "lda", "qda", "nb"])
+    p.add_argument("--label", required=True,
+                   help="label column name (numeric for linreg, "
+                        "categorical otherwise)")
+    p.add_argument("--out", default="model.npz")
+    p.add_argument("--normalize", action="store_true")
+    p.add_argument("--shrinkage", type=float, default=0.001,
+                   help="LDA covariance shrinkage")
+    p.add_argument("--step-size", type=float, default=0.001)
+    p.add_argument("--lam", type=float, default=0.0,
+                   help="ridge lambda (linreg)")
+    p.add_argument("--max-iters", type=int, default=10000)
+    p.add_argument("--variance", action="store_true",
+                   help="store the residual std for stochastic prediction")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("predict", help="batch-predict a CSV from a saved "
+                                       "model bundle")
+    p.add_argument("csv")
+    p.add_argument("--params", required=True, help="bundle from `train`")
+    p.add_argument("--out", default="predictions.csv")
+    p.add_argument("--noise", action="store_true",
+                   help="stochastic linreg prediction (needs --variance "
+                        "at train time)")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_predict)
 
     p = sub.add_parser("bench", help="run benchmark configs")
     p.add_argument("--config", default="all",

@@ -37,3 +37,57 @@ def test_cli_impute_roundtrip(tmp_path):
     got_b = np.asarray([float(l.split(",")[1]) for l in lines[1:]])
     rmse = float(np.sqrt(np.mean((got_b[null] - b[null]) ** 2)))
     assert rmse < 0.2, rmse
+
+
+def _train_predict(tmp_path, model, label, train_csv, test_csv, extra=()):
+    bundle = tmp_path / f"{model}.npz"
+    preds = tmp_path / f"{model}_pred.csv"
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from duckdb_imputation_tpu.cli import main;"
+        f"sys.argv=['cli','train',{str(train_csv)!r},'--model',{model!r},"
+        f"'--label',{label!r},'--out',{str(bundle)!r}"
+        + "".join(f",{a!r}" for a in extra) + "];main();"
+        f"sys.argv=['cli','predict',{str(test_csv)!r},"
+        f"'--params',{str(bundle)!r},'--out',{str(preds)!r}];main()")
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import numpy as np
+    lines = open(preds).read().strip().splitlines()
+    assert lines[0] == f"{label}_pred"
+    return np.asarray([float(v) for v in lines[1:]])
+
+
+def test_cli_train_predict_all_models(tmp_path):
+    """Serving path: train on one CSV, predict another, all 4 model
+    families through the persisted bundle (the reference keeps params only
+    as a FLOAT[] value inside one connection)."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    n = 600
+
+    def write(path, n0):
+        z = rng.normal(size=n0)
+        x1 = z + 0.05 * rng.normal(size=n0)
+        x2 = -z + 0.05 * rng.normal(size=n0)
+        y = (2 * z + 0.01 * rng.normal(size=n0)).astype(np.float32)
+        g = np.where(z > 0, 7, 3)        # separable classes, raw values
+        with open(path, "w") as f:
+            f.write("x1,x2,y,g\n")
+            for i in range(n0):
+                f.write(f"{x1[i]:.6g},{x2[i]:.6g},{y[i]:.6g},{g[i]}\n")
+        return y, g, z
+
+    train = tmp_path / "train.csv"
+    test = tmp_path / "test.csv"
+    write(train, n)
+    y_te, g_te, _ = write(test, 200)
+
+    pred = _train_predict(tmp_path, "linreg", "y", train, test)
+    assert float(np.sqrt(np.mean((pred - y_te) ** 2))) < 0.2
+
+    for model in ("lda", "qda", "nb"):
+        pred = _train_predict(tmp_path, model, "g", train, test)
+        acc = (pred.astype(int) == g_te).mean()
+        assert acc > 0.95, (model, acc)
