@@ -1,3 +1,3 @@
-from .table import Table, from_numpy
+from .table import Table, from_numpy, from_pandas
 
-__all__ = ["Table", "from_numpy"]
+__all__ = ["Table", "from_numpy", "from_pandas"]

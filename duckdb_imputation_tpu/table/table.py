@@ -85,6 +85,49 @@ class Table:
                 + jnp.sum(self.cat_null, axis=0)).astype(jnp.int32)
 
 
+def from_pandas(df, schema: FeatureSchema | None = None) -> Table:
+    """Build a Table from a pandas DataFrame.
+
+    Column dispatch follows the reference's rule (triple/lift.cpp:34-37):
+    float dtypes ⇒ numeric, integer/boolean/categorical-of-int ⇒
+    categorical. Missing cells (NaN / pandas NA) set the null masks.
+    Non-numeric object/string columns are rejected — encode them to int
+    codes first (the reference only ingests numerics and INTEGER
+    categories)."""
+    import pandas as pd
+
+    num_cols, cat_cols = [], []
+    for name in df.columns:
+        s = df[name]
+        if pd.api.types.is_float_dtype(s):
+            num_cols.append(name)
+        elif (pd.api.types.is_integer_dtype(s)
+              or pd.api.types.is_bool_dtype(s)):
+            cat_cols.append(name)
+        else:
+            raise ValueError(
+                f"column {name!r} has unsupported dtype {s.dtype}; "
+                "encode strings/objects to integer categories first")
+    n = len(df)
+    num = np.zeros((len(num_cols), n), np.float32)
+    num_null = np.zeros((len(num_cols), n), bool)
+    for j, name in enumerate(num_cols):
+        v = df[name].to_numpy(dtype=np.float64, na_value=np.nan)
+        num_null[j] = np.isnan(v)
+        num[j] = np.where(num_null[j], 0.0, v)
+    cat = np.zeros((len(cat_cols), n), np.int64)
+    cat_null = np.zeros((len(cat_cols), n), bool)
+    for j, name in enumerate(cat_cols):
+        s = df[name]
+        isna = s.isna().to_numpy()
+        cat_null[j] = isna
+        cat[j] = np.where(isna, 0,
+                          s.fillna(0).to_numpy(dtype=np.int64))
+    return from_numpy(num, cat, num_null, cat_null,
+                      num_names=tuple(num_cols), cat_names=tuple(cat_cols),
+                      schema=schema, rows_first=False)
+
+
 def from_numpy(num_data=None, cat_data=None, num_null=None, cat_null=None,
                num_names=(), cat_names=(), schema: FeatureSchema | None = None,
                rows_first: bool = True) -> Table:

@@ -170,3 +170,27 @@ def test_factorized_sum_nb_matches_per_key_products():
     for lhs, rhs in zip(jax.tree.leaves(fused.agg), jax.tree.leaves(total.agg)):
         np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_from_pandas_dispatch_and_nulls():
+    """pandas ingestion: float ⇒ numeric, int/bool ⇒ categorical
+    (the reference's type-dispatch rule), NaN/NA ⇒ null masks."""
+    import pytest
+    pd = pytest.importorskip("pandas")
+    import numpy as np
+    from duckdb_imputation_tpu.table import from_pandas
+
+    df = pd.DataFrame({
+        "a": [1.5, np.nan, 2.5, 3.0],
+        "g": pd.array([4, None, 4, 8], dtype="Int64"),
+        "flag": [True, False, True, False],
+    })
+    t = from_pandas(df)
+    assert t.num_names == ("a",) and t.cat_names == ("g", "flag")
+    assert np.asarray(t.num_null)[0].tolist() == [False, True, False, False]
+    assert np.asarray(t.cat_null)[0].tolist() == [False, True, False, False]
+    assert t.schema.cat_keys == ((4, 8), (0, 1))
+    # raw values round-trip through codes
+    assert t.cat_values()[0].tolist() == [4, 4, 4, 8]  # null slot = filler
+    with pytest.raises(ValueError):
+        from_pandas(pd.DataFrame({"s": ["x", "y"]}))
