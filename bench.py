@@ -13,10 +13,17 @@ Methodology notes (this environment):
 
 Baseline (`vs_baseline`): the reference publishes no numbers and cannot be
 built here (DuckDB 0.9.2 must be cloned from the network; this box has zero
-egress — BASELINE.md). Stand-in: the same masked Gram computation as CPU
-BLAS sgemm via numpy, normalized per core — a GENEROUS upper bound on the
-reference's per-core scalar FMA + hash-map loop (sum_no_lift.cpp:128-214);
-DuckDB-per-core is strictly slower than sgemm-per-core on this kernel.
+egress — BASELINE.md). Two buildable stand-ins are measured and the FASTER
+one (most favorable to the reference) is the denominator:
+  * the FAITHFUL per-core loop — a C++ -O3 reimplementation of the
+    reference's aggregation algorithm class (scalar packed-triangle FMA +
+    ordered-map upserts per row, sum_no_lift.cpp:128-214) in
+    native/columnar.cpp `dbi_ref_agg_seconds`. At d=4 this is ~20× FASTER
+    than the sgemm stand-in below (sparse per-row updates beat a dense
+    P=21-wide Gram per-core), so it sets vs_baseline;
+  * the dense masked-Gram as CPU BLAS sgemm via numpy, per-core normalized
+    (round-1/2 used only this one and called it "generous" — it is not:
+    dense one-hot math is the slow formulation on a CPU at small d).
 
 Prints exactly ONE JSON line on stdout; detail goes to stderr.
 """
@@ -114,6 +121,33 @@ def bench_cpu_baseline(schema, n=1_000_000, iters=3):
     log(f"cpu sgemm stand-in: {dt * 1e3:.1f} ms on {ncores} cores "
         f"-> {per_core / 1e6:.2f}M rows/s/core")
     return per_core
+
+
+def bench_cpu_ref_loop(n=1_000_000, d=4, c=2, iters=3):
+    """Faithful single-core reimplementation of the reference's fused
+    aggregation loop (native C++, see module docstring). Same data
+    distribution as the chip config: 8-key vocabs, 80% binary mask."""
+    import ctypes
+
+    from duckdb_imputation_tpu.table.native import load_library
+
+    lib = load_library()
+    lib.dbi_ref_agg_seconds.restype = ctypes.c_double
+    lib.dbi_ref_agg_seconds.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int]
+    rng = np.random.default_rng(0)
+    x = np.ascontiguousarray(rng.normal(size=(d, n)), np.float32)
+    codes = np.ascontiguousarray(rng.integers(0, 8, size=(c, n)), np.int32)
+    w = np.ascontiguousarray((rng.random(n) > 0.2), np.float32)
+    sec = lib.dbi_ref_agg_seconds(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n, d, c, iters)
+    log(f"cpu FAITHFUL ref loop (scalar FMA + map upserts): "
+        f"{sec * 1e3:.1f} ms @{n} -> {n / sec / 1e6:.2f}M rows/s/core")
+    return n / sec
 
 
 def bench_numeric_4_0(n=1_024_000):
@@ -375,8 +409,16 @@ def main():
     schema = FeatureSchema(
         num_cols=4, cat_keys=(tuple(range(8)), tuple(range(8))))
     rows_per_s = bench_tpu(schema)
-    base = bench_cpu_baseline(schema)
-    extras = {}
+    base_sgemm = bench_cpu_baseline(schema)
+    try:
+        base_ref = bench_cpu_ref_loop()
+    except Exception as e:  # no C++ toolchain: fall back to sgemm only
+        log(f"ref-loop baseline unavailable: {str(e)[:120]}")
+        base_ref = 0.0
+    # denominator = the FASTER per-core stand-in (favors the reference)
+    base = max(base_sgemm, base_ref)
+    extras = {"cpu_ref_loop_rows_per_s_core": round(base_ref),
+              "cpu_sgemm_rows_per_s_core": round(base_sgemm)}
     if os.environ.get("DBI_BENCH_FAST") != "1":
         # the remaining BASELINE.json configs
         extras["numeric_4_0_rows_per_s"] = round(bench_numeric_4_0())

@@ -29,6 +29,8 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <chrono>
+#include <utility>
 #include <fstream>
 #include <map>
 #include <memory>
@@ -504,6 +506,72 @@ void* dbi_csv_next_chunk(void* sh, int64_t max_bytes) {
     }
   }
   return t;
+}
+
+// ---- faithful reference-loop CPU baseline ----
+//
+// Single-core reimplementation of the ALGORITHM CLASS of the reference's
+// fused aggregation hot loop (Triple::SumNoLift, sum_no_lift.cpp:53-216,
+// written from its description in SURVEY.md §2/§3.1, not its code): per
+// row — N++, lin FMA, packed-upper-triangle quad FMA over column pairs,
+// per-categorical-column ordered-map upsert of a [count ‖ Σx_j] payload,
+// categorical-pair ordered-map upsert. bench.py runs this on the host as
+// the honest "reference per-core" baseline; the BLAS sgemm stand-in it
+// also prints is a GENEROUS upper bound (dense FMA with no hash maps).
+double dbi_ref_agg_seconds(const float* x, const int32_t* codes,
+                           const float* w, int64_t n, int d, int c,
+                           int reps) {
+  using clock_t2 = std::chrono::high_resolution_clock;
+  double sink = 0;
+  auto t0 = clock_t2::now();
+  for (int r = 0; r < reps; r++) {
+    const int quad_len = d * (d + 1) / 2;
+    int64_t cnt = 0;
+    std::vector<float> lin(size_t(d), 0.f), quad(size_t(quad_len), 0.f);
+    std::vector<float> payload(size_t(d), 0.f);
+    std::vector<std::map<int, std::vector<float>>> num_cat;
+    num_cat.resize(size_t(c));
+    std::vector<std::map<std::pair<int, int>, float>> cat_cat;
+    for (int a = 0; a < c; a++)
+      for (int b = a; b < c; b++) cat_cat.emplace_back();
+    for (int64_t i = 0; i < n; i++) {
+      if (w[i] == 0.f) continue;
+      cnt++;
+      for (int j = 0; j < d; j++) payload[size_t(j)] = x[j * n + i];
+      int qi = 0;
+      for (int j = 0; j < d; j++) {
+        lin[size_t(j)] += payload[size_t(j)];
+        for (int k = j; k < d; k++)
+          quad[size_t(qi++)] += payload[size_t(j)] * payload[size_t(k)];
+      }
+      for (int a = 0; a < c; a++) {
+        auto& m = num_cat[size_t(a)];
+        int key = codes[a * n + i];
+        auto it = m.find(key);
+        if (it == m.end()) {
+          std::vector<float> v(size_t(d + 1), 0.f);
+          v[0] = 1.f;
+          for (int j = 0; j < d; j++) v[size_t(j + 1)] = payload[size_t(j)];
+          m.emplace(key, std::move(v));
+        } else {
+          it->second[0] += 1.f;
+          for (int j = 0; j < d; j++)
+            it->second[size_t(j + 1)] += payload[size_t(j)];
+        }
+      }
+      int pi = 0;
+      for (int a = 0; a < c; a++) {
+        for (int b = a; b < c; b++) {
+          cat_cat[size_t(pi++)][{codes[a * n + i], codes[b * n + i]}] += 1.f;
+        }
+      }
+    }
+    sink += double(cnt) + (d ? lin[0] + quad[0] : 0.0)
+        + (c ? double(num_cat[0].size()) : 0.0);
+  }
+  auto t1 = clock_t2::now();
+  if (sink == -1.0) return -1.0;  // keep the loop observable
+  return std::chrono::duration<double>(t1 - t0).count() / reps;
 }
 
 int64_t dbi_version() { return 2; }
