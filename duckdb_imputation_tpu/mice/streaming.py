@@ -103,14 +103,18 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
                     lda_shrinkage: float = 0.001,
                     linreg_step: float = 0.001, linreg_lambda: float = 0.0,
                     linreg_iters: int = 10000, noise: bool = True,
-                    seed: int = 0, timer: PhaseTimer | None = None
-                    ) -> StreamImputation:
+                    seed: int = 0, timer: PhaseTimer | None = None,
+                    mesh=None) -> StreamImputation:
     """MICE over a chunk stream (callable → iterator of ring.streaming.Chunk
-    or (num, cat[, num_null, cat_null]) tuples). See module docstring."""
+    or (num, cat[, num_null, cat_null]) tuples). See module docstring.
+    With `mesh`, the streaming Gram pass row-shards each chunk over the
+    device mesh (psum combine); the delta rounds run on the dirty cache,
+    which is small by the low-missing premise."""
     timer = timer or PhaseTimer()
     kw = dict(chunk_rows=chunk_rows) if chunk_rows else {}
     with timer.phase("stream_aggregate"):
-        full, fills, ss, cache = aggregate_stream(chunk_source, **kw)
+        full, fills, ss, cache = aggregate_stream(chunk_source, mesh=mesh,
+                                                  **kw)
     with timer.phase("prepare"):
         t = _dirty_table(cache, ss, fills)
         parts = build_partitions(t)

@@ -222,26 +222,48 @@ def _pad_to(a, m):
 
 
 def scan_gram(chunk_source, ss: StreamSchema, *,
-              chunk_rows: int = DEFAULT_STREAM_CHUNK) -> np.ndarray:
+              chunk_rows: int = DEFAULT_STREAM_CHUNK,
+              mesh=None) -> np.ndarray:
     """Pass 1: stream chunks host→device, fold into the extended Gram.
 
     Chunks are re-blocked to a fixed `chunk_rows` so the fold compiles once
     (ragged tails ride with weight-0 padding). Dispatch is async: while the
     device folds chunk k, the host encodes and ships chunk k+1 — the
     transfer/compute overlap is the pipeline, no explicit double buffer
-    needed."""
+    needed.
+
+    With a `mesh` (jax.sharding.Mesh with a 'data' axis), each chunk's rows
+    shard across the devices and GSPMD inserts one psum of the [P+K, P+K]
+    Gram per chunk — the out-of-core scan and the multi-chip combine
+    compose: this is the reference's thread-merge (SumStateCombine) riding
+    ICI while the data streams from beyond HBM."""
     schema = ss.schema
     p_ext = schema.sigma_size + ss.k
-    gram = jnp.zeros((p_ext, p_ext), jnp.float32)
+    row_shard = rep = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        row_shard = NamedSharding(mesh, P(None, "data"))
+        w_shard = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+    gram = (jnp.zeros((p_ext, p_ext), jnp.float32) if rep is None
+            else jax.device_put(np.zeros((p_ext, p_ext), np.float32), rep))
 
     def fold(num, cat, num_null, cat_null, m):
         nonlocal gram
         w = (np.arange(chunk_rows) < m).astype(np.float32)
         codes = (schema.encode(cat.T).T.astype(np.int32)
                  if schema.cat_cols else np.zeros((0, chunk_rows), np.int32))
-        gram = _fold_chunk(gram, jnp.asarray(num), jnp.asarray(codes),
-                           jnp.asarray(num_null), jnp.asarray(cat_null),
-                           jnp.asarray(w), ss=ss)
+        if row_shard is not None:
+            args = (jax.device_put(np.ascontiguousarray(num), row_shard),
+                    jax.device_put(np.ascontiguousarray(codes), row_shard),
+                    jax.device_put(np.ascontiguousarray(num_null), row_shard),
+                    jax.device_put(np.ascontiguousarray(cat_null), row_shard),
+                    jax.device_put(w, w_shard))
+        else:
+            args = (jnp.asarray(num), jnp.asarray(codes),
+                    jnp.asarray(num_null), jnp.asarray(cat_null),
+                    jnp.asarray(w))
+        gram = _fold_chunk(gram, *args, ss=ss)
 
     buf = None  # accumulating re-blocker
     for raw in chunk_source():
@@ -307,11 +329,11 @@ def assemble_filled_triple(gram: np.ndarray, ss: StreamSchema
 
 
 def aggregate_stream(chunk_source, *, chunk_rows: int = DEFAULT_STREAM_CHUNK,
-                     collect_dirty: bool = True):
+                     collect_dirty: bool = True, mesh=None):
     """Two-pass streaming aggregation: vocab/dirty scan, then one device
-    pass. Returns (filled full Triple, StreamFills, StreamSchema,
-    DirtyCache | None)."""
+    pass (optionally row-sharded over a mesh's 'data' axis). Returns
+    (filled full Triple, StreamFills, StreamSchema, DirtyCache | None)."""
     ss, cache = scan_schema(chunk_source, collect_dirty=collect_dirty)
-    gram = scan_gram(chunk_source, ss, chunk_rows=chunk_rows)
+    gram = scan_gram(chunk_source, ss, chunk_rows=chunk_rows, mesh=mesh)
     full, fills = assemble_filled_triple(gram, ss)
     return full, fills, ss, cache

@@ -174,3 +174,40 @@ def test_impute_csv_stream_end_to_end(tmp_path):
     np.testing.assert_array_equal(out["g"][~ng].astype(int), g[~ng])
     assert np.corrcoef(out["a"][na], a[na])[0, 1] > 0.85
     assert (out["g"][ng].astype(int) == g[ng]).mean() > 0.85
+
+
+def test_stream_gram_sharded_matches_single():
+    """Out-of-core × multi-chip: the streaming Gram fold with each chunk
+    row-sharded over the 8-device mesh (GSPMD psum combine) must equal the
+    single-device fold exactly — the SumStateCombine contract riding ICI
+    while data streams from beyond HBM."""
+    import jax
+    from duckdb_imputation_tpu.parallel.mesh import make_mesh
+    from duckdb_imputation_tpu.ring.streaming import scan_gram, scan_schema
+
+    num_in, cat_in, _, _, _, _ = _make_data(seed=8, n=3100)
+    src = chunks_from_arrays(num_in, cat_in, chunk_rows=900)
+    ss, _ = scan_schema(src)
+    g1 = scan_gram(src, ss, chunk_rows=512)
+    mesh = make_mesh(8)
+    g8 = scan_gram(src, ss, chunk_rows=512, mesh=mesh)
+    # f32 accumulation order differs across shards — same error class as
+    # the reference's own parallel thread-merge
+    np.testing.assert_allclose(g8, g1, rtol=1e-4, atol=1e-3)
+    # counts in the Gram are exactly equal (integer sums)
+    assert g8[0, 0] == g1[0, 0]
+
+
+def test_stream_mice_sharded_matches_single():
+    from duckdb_imputation_tpu.parallel.mesh import make_mesh
+
+    num_in, cat_in, _, _, num_null, _ = _make_data(seed=9, n=2048)
+    src = chunks_from_arrays(num_in, cat_in, chunk_rows=512)
+    r1 = run_mice_stream(src, iters=2, noise=False, chunk_rows=256)
+    r8 = run_mice_stream(src, iters=2, noise=False, chunk_rows=256,
+                         mesh=make_mesh(8))
+    np.testing.assert_allclose(np.asarray(r8.dirty.num_data),
+                               np.asarray(r1.dirty.num_data),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(r8.dirty.cat_codes),
+                                  np.asarray(r1.dirty.cat_codes))
