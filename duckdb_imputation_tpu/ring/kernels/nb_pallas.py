@@ -63,13 +63,16 @@ def _nb_kernel(x_ref, c_ref, w_ref, g_ref, out_ref, *,
         preferred_element_type=jnp.float32)
 
 
-def _bf16_split3(x):
-    """x (f32) = b1 + b2 + b3 with each bᵢ bf16: 3×8 mantissa bits cover
-    f32's 24 — the sum reconstructs x exactly."""
-    b1 = x.astype(jnp.bfloat16)
-    r1 = x - b1.astype(jnp.float32)
-    b2 = r1.astype(jnp.bfloat16)
-    b3 = (r1 - b2.astype(jnp.float32)).astype(jnp.bfloat16)
+def _bf16_split3_f32(x):
+    """Same 3-way split, but the parts stay f32 (bf16-representable values)
+    so the whole feature block is built in f32 — (8, 128)-tile sublane
+    alignment — and cast to bf16 ONCE. Piecewise bf16 segments with odd row
+    counts force (16, 128) repacks at every concat boundary (measured 2×
+    slower end-to-end)."""
+    b1 = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = x - b1
+    b2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    b3 = r1 - b2
     return b1, b2, b3
 
 
@@ -80,11 +83,14 @@ def _nb_kernel_fast(x_ref, c_ref, w_ref, g_ref, out_ref, *,
     The group mask rows are {0,1} (exact in bf16) and the binary feature
     rows (ones, one-hot) are exact in bf16, so their products are exact.
     Numeric rows (x, x²) are split 3-way bf16 (exact f32 reconstruction),
-    all splits ride in the same widened rhs:
-        [1 ‖ onehot ‖ x:b1 ‖ x:b2 ‖ x:b3 ‖ x²:b1 ‖ x²:b2 ‖ x²:b3]
-    and the host adds the three split columns back together. Result: exact
-    f32-accumulated sums at single-bf16-pass MXU cost (~6× the HIGHEST
-    rate), leaving the pass bandwidth-bound."""
+    all splits ride in the same widened rhs, ordered for f32 sublane
+    alignment (one-hot first, the lone ones-row last):
+        [onehot ‖ x:b1 ‖ x:b2 ‖ x:b3 ‖ x²:b1 ‖ x²:b2 ‖ x²:b3 ‖ 1 ‖ 0-pad]
+    and the host adds the three split columns back together. The block is
+    built entirely in f32 and cast to bf16 once (see _bf16_split3_f32).
+    Result: exact f32-accumulated sums at single-bf16-pass MXU cost,
+    leaving the pass bandwidth-bound (measured 729 GB/s of the ~752 GB/s
+    pure-read rate at the 8num+4cat config)."""
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -92,22 +98,19 @@ def _nb_kernel_fast(x_ref, c_ref, w_ref, g_ref, out_ref, *,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     d = schema.num_cols
-    rows = [jnp.ones((1, chunk), jnp.bfloat16)]
+    rows = []
     for j, size in enumerate(schema.cat_sizes):
         it = jax.lax.broadcasted_iota(jnp.int32, (size, 1), 0)
-        rows.append((c_ref[j, :][None, :] == it).astype(jnp.bfloat16))
+        rows.append((c_ref[j, :][None, :] == it).astype(jnp.float32))
     if d:
         x = x_ref[:, :]                               # [d, chunk] f32
-        xsplit = _bf16_split3(x)
-        qsplit = _bf16_split3(x * x)
-        for k in range(3):
-            rows.append(xsplit[k])
-            rows.append(qsplit[k])
+        rows.extend(_bf16_split3_f32(x))
+        rows.extend(_bf16_split3_f32(x * x))
     f_wide = out_ref.shape[1]
-    used = 1 + schema.vocab_size + 6 * d
-    if f_wide > used:
-        rows.append(jnp.zeros((f_wide - used, chunk), jnp.bfloat16))
-    feats = jnp.concatenate(rows, axis=0)
+    used = schema.vocab_size + 6 * d
+    ri = jax.lax.broadcasted_iota(jnp.int32, (f_wide - used, chunk), 0)
+    rows.append((ri == 0).astype(jnp.float32))        # ones row + 0-pad
+    feats = jnp.concatenate(rows, axis=0).astype(jnp.bfloat16)
 
     qg = jax.lax.broadcasted_iota(jnp.int32, (g_pad, 1), 0)
     wmat = ((g_ref[0, :][None, :] == qg).astype(jnp.float32)
@@ -127,7 +130,7 @@ def _nb_grouped_pallas(x_num, codes, weights, group_ids, *,
     v = schema.vocab_size
     n = weights.shape[-1]
     f = 1 + 2 * d + v
-    f_wide = _round_up(1 + v + 6 * d, 8) if fast else _round_up(f, 8)
+    f_wide = _round_up(v + 6 * d + 1, 8) if fast else _round_up(f, 8)
     g_pad = _round_up(max(num_groups, 8), 8)
 
     if fast:
@@ -160,18 +163,19 @@ def _nb_grouped_pallas(x_num, codes, weights, group_ids, *,
     out = out[:num_groups]
     if not fast:
         return out[:, :f]
-    # fast layout: [1 ‖ onehot V ‖ (x, x²)×split k=0..2] → standard
-    # [1 ‖ x ‖ x² ‖ onehot] with the three splits summed back together
-    base = 1 + v
-    numeric = (out[:, base:base + 2 * d]
-               + out[:, base + 2 * d:base + 4 * d]
-               + out[:, base + 4 * d:base + 6 * d])
-    return jnp.concatenate([out[:, :1], numeric, out[:, 1:base]], axis=1)
+    # fast layout: [onehot V ‖ x×3 splits ‖ x²×3 splits ‖ 1 ‖ pad] →
+    # standard [1 ‖ x ‖ x² ‖ onehot], the three splits summed back together
+    x_sum = out[:, v:v + d] + out[:, v + d:v + 2 * d] \
+        + out[:, v + 2 * d:v + 3 * d]
+    q_sum = out[:, v + 3 * d:v + 4 * d] + out[:, v + 4 * d:v + 5 * d] \
+        + out[:, v + 5 * d:v + 6 * d]
+    ones_col = out[:, v + 6 * d:v + 6 * d + 1]
+    return jnp.concatenate([ones_col, x_sum, q_sum, out[:, :v]], axis=1)
 
 
 def sum_to_nb_agg_grouped_pallas(x_num, codes, group_ids, *,
                                  schema: FeatureSchema, num_groups: int,
-                                 weights=None, chunk_cols: int = 16384,
+                                 weights=None, chunk_cols: int = 32768,
                                  fast: bool | None = None) -> NBAgg:
     """Grouped NB aggregate via the streaming Pallas kernel. Rows are
     zero-weight padded to a chunk multiple (padded rows carry group id
