@@ -24,6 +24,9 @@ Supported statement surface (everything the reference emits):
     reference's patched zero-copy column swap: replaces column c with the
     single column of table `rep`, then drops `rep`
     (duckdb_imputation.patch:26-175,178-204)
+  * UPDATE t SET c = expr[, …] [WHERE …] and DELETE FROM t [WHERE …] —
+    standard 3VL row semantics (NULL predicate rows untouched / kept);
+    SET expressions see the pre-update row
   * SELECT expr [AS alias], … FROM t | (subquery) | (sub JOIN sub ON …)
       [WHERE …] [GROUP BY …] [HAVING …] [ORDER BY …] [LIMIT n [OFFSET m]]
     with DISTINCT, CASE WHEN, IS [NOT] NULL/TRUE/FALSE, [NOT] BETWEEN,
@@ -124,7 +127,7 @@ _KEYWORDS = {
     "values", "drop", "if", "exists", "alter", "column", "set", "default",
     "case", "when", "then", "else", "end", "and", "or", "not", "null",
     "true", "false", "is", "join", "inner", "left", "cross", "on", "using",
-    "cast", "view", "add", "between", "in", "offset",
+    "cast", "view", "add", "between", "in", "offset", "update", "delete",
 }
 
 
@@ -193,7 +196,32 @@ class _Parser:
             return self.drop()
         if self.at_kw("alter"):
             return self.alter()
+        if self.at_kw("update"):
+            return self.update()
+        if self.at_kw("delete"):
+            return self.delete()
         raise SQLError(f"unsupported statement start: {self.peek()}")
+
+    def update(self):
+        self.expect_kw("update")
+        name = self.ident()
+        self.expect_kw("set")
+        sets = []
+        while True:
+            col = self.ident()
+            self.expect_op("=")
+            sets.append((col, self.expr()))
+            if not self.eat_op(","):
+                break
+        where = self.expr() if self.eat_kw("where") else None
+        return ("update", name, sets, where)
+
+    def delete(self):
+        self.expect_kw("delete")
+        self.expect_kw("from")
+        name = self.ident()
+        where = self.expr() if self.eat_kw("where") else None
+        return ("delete", name, where)
 
     def create(self):
         self.expect_kw("create")
@@ -786,6 +814,10 @@ class Connection:
             self._run_swap(stmt)
         elif kind == "addcol":
             self._run_addcol(stmt)
+        elif kind == "update":
+            self._run_update(stmt)
+        elif kind == "delete":
+            self._run_delete(stmt)
         else:  # pragma: no cover
             raise SQLError(f"unhandled statement {kind}")
         return self
@@ -853,6 +885,66 @@ class Connection:
                 np.concatenate([col.null, np.asarray(nulls, bool)]),
                 col.kind))
         self.tables[name] = Relation(list(rel.names), new_cols)
+        self._result, self._columns = [], []
+
+    def _run_update(self, stmt):
+        """`UPDATE t SET c = expr[, …] [WHERE cond]`. The reference never
+        issues UPDATE (its write-back is the patched column swap precisely
+        because row-level UPDATE is slow in a columnar store), but a DuckDB
+        user migrating expects it. Here it is the same O(column) masked
+        replace as the swap: rows where the predicate is not TRUE (3VL —
+        NULL keeps the old value, the SQL standard rule) are untouched.
+        All SET expressions evaluate against the PRE-update row, per the
+        standard (`SET a = b, b = a` swaps)."""
+        _, name, sets, where = stmt
+        if name not in self.tables:
+            raise SQLError(f"no such table {name}")
+        rel = self.tables[name]
+        mask = (_truthy(self._eval(where, rel)) if where is not None
+                else np.ones(rel.n, bool))
+        new_vals = [(col, self._eval(expr, rel)) for col, expr in sets]
+        out = rel.copy()
+        for colname, val in new_vals:
+            if colname not in out.names:
+                raise SQLError(f"no such column {colname}")
+            idx = out.names.index(colname)
+            old = out.cols[idx]
+            data, null = val.data, val.null
+            if old.kind == "f":
+                data = data.astype(np.float32)
+            elif old.kind == "i" and val.kind == "f":
+                # null slots may hold NaN; their values are never read
+                data = np.rint(np.where(null, 0.0,
+                                        _numeric(val))).astype(np.int64)
+            elif old.kind == "i":
+                data = np.asarray(data).astype(np.int64)
+            elif old.kind == "b":
+                data = np.asarray(data).astype(bool)
+            if old.kind == "o" or val.kind == "o":
+                merged = old.data.astype(object).copy()
+                merged[mask] = data[mask]
+                out.cols[idx] = Column(merged,
+                                       np.where(mask, null, old.null),
+                                       old.kind)
+            else:
+                out.cols[idx] = Column(np.where(mask, data, old.data),
+                                       np.where(mask, null, old.null),
+                                       old.kind)
+        self.tables[name] = out
+        self._result, self._columns = [], []
+
+    def _run_delete(self, stmt):
+        """`DELETE FROM t [WHERE cond]` — keep rows where the predicate is
+        not TRUE (FALSE and NULL rows survive, the 3VL rule)."""
+        _, name, where = stmt
+        if name not in self.tables:
+            raise SQLError(f"no such table {name}")
+        rel = self.tables[name]
+        if where is None:
+            keep = np.zeros(rel.n, bool)
+        else:
+            keep = ~_truthy(self._eval(where, rel))
+        self.tables[name] = rel.take(np.flatnonzero(keep))
         self._result, self._columns = [], []
 
     def _run_addcol(self, stmt):

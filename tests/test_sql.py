@@ -409,3 +409,56 @@ def test_order_by_nulls_last():
     # two-key sort: primary NULLS LAST dominates the secondary ordering
     rows = con.execute("SELECT y, x FROM o ORDER BY x, y DESC").fetchall()
     assert rows == [(1, -0.5), (2, 1.5), (None, 2.5), (0, None), (-1, None)]
+
+
+def test_update_basic_and_3vl():
+    """UPDATE: rows where the predicate is NULL keep the old value (3VL);
+    SET expressions evaluate against the PRE-update row."""
+    con = sql.connect()
+    con.execute("CREATE TABLE u(a FLOAT, b FLOAT, g INTEGER)")
+    con.execute("INSERT INTO u VALUES (1, 10, 1), (2, 20, 2), "
+                "(NULL, 30, 3), (4, NULL, 4)")
+    con.execute("UPDATE u SET b = b + 1 WHERE a > 1")
+    assert [r[0] for r in con.execute("SELECT b FROM u").fetchall()] == \
+        [10.0, 21.0, 30.0, None]  # a=NULL row untouched; b=NULL stays NULL
+    # pre-update row semantics: a/b swap
+    con.execute("UPDATE u SET a = b, b = a WHERE g = 2")
+    assert con.execute("SELECT a, b FROM u WHERE g = 2").fetchone() == \
+        (21.0, 2.0)
+    # SET to NULL and unconditional update
+    con.execute("UPDATE u SET a = NULL")
+    assert all(r[0] is None
+               for r in con.execute("SELECT a FROM u").fetchall())
+
+
+def test_update_categorical_and_case():
+    con = sql.connect()
+    con.execute("CREATE TABLE u(x INTEGER, y FLOAT)")
+    con.execute("INSERT INTO u VALUES (1, 0.5), (2, 1.5), (3, 2.5)")
+    con.execute("UPDATE u SET x = CASE WHEN y > 1 THEN x * 10 ELSE x END")
+    assert [r[0] for r in con.execute("SELECT x FROM u").fetchall()] == \
+        [1, 20, 30]
+
+
+def test_delete_3vl_and_all():
+    """DELETE keeps rows whose predicate is FALSE or NULL."""
+    con = sql.connect()
+    con.execute("CREATE TABLE d(a FLOAT)")
+    con.execute("INSERT INTO d VALUES (1), (2), (NULL), (4)")
+    con.execute("DELETE FROM d WHERE a > 1")
+    assert [r[0] for r in con.execute("SELECT a FROM d").fetchall()] == \
+        [1.0, None]  # NULL predicate row survives
+    con.execute("DELETE FROM d")
+    assert con.execute("SELECT COUNT(*) FROM d").fetchone()[0] == 0
+
+
+def test_update_delete_feed_aggregation():
+    """Mutated tables flow into the ring aggregation correctly."""
+    con = sql.connect()
+    con.execute("CREATE TABLE t(a FLOAT, b FLOAT, d INTEGER)")
+    con.execute("INSERT INTO t VALUES (1, 2, 1), (3, 4, 2), (5, 6, 1)")
+    con.execute("DELETE FROM t WHERE d = 2")
+    con.execute("UPDATE t SET a = a * 2")
+    got = con.execute("SELECT sum_to_triple_2_1(a, b, d) FROM t").fetchone()[0]
+    assert got["N"] == 2
+    assert got["lin_agg"] == [12.0, 8.0]  # 2*1+2*5=12, 2+6=8

@@ -319,9 +319,61 @@ def _assert_same(q, got, want):
                 f"unmatched row {rg!r}\n  {q}\n  got={g}\n  want={w}")
 
 
+def _make_mutation(rng, next_id):
+    """One UPDATE/DELETE statement runnable verbatim on both engines.
+
+    SET expressions for FLOAT columns stay on the dyadic grid with small
+    magnitude (col ± small int, plain col/literal, COALESCE) so the f32
+    write-back is exact; INTEGER columns only receive integer-valued
+    expressions (sqlite is flex-typed and would happily store 2.5 in an
+    INTEGER column while this engine rounds). DELETEs target ids and are
+    paired with fresh-id INSERTs so the table never drains and the id
+    column stays unique (shape-14 ORDER BY id relies on that)."""
+    kind = rng.randrange(4)
+    if kind == 0:                     # UPDATE float col
+        col = rng.choice(["a", "b"])
+        r = rng.random()
+        if r < 0.3:
+            val = f"{rng.choice(['a', 'b'])} + {rng.randrange(-3, 4)}"
+        elif r < 0.5:
+            val = repr(rng.randrange(-256, 257) / 64)
+        elif r < 0.65:
+            val = "NULL"
+        elif r < 0.85:
+            val = f"COALESCE({rng.choice(['a', 'b'])}, {rng.randrange(3)})"
+        else:
+            val = rng.choice(["a", "b"])
+        return ([f"UPDATE t1 SET {col} = {val} "
+                 f"WHERE {_bool_expr(rng, T1_NUM, 2)}"], next_id)
+    if kind == 1:                     # UPDATE int col (integer-valued expr)
+        col = rng.choice(["c", "d"])
+        val = rng.choice(["c", "d", "NULL" if col == "c" else "0",
+                          str(rng.randrange(5)),
+                          f"d + {rng.randrange(3)}"])
+        return ([f"UPDATE t1 SET {col} = {val} "
+                 f"WHERE {_bool_expr(rng, T1_NUM, 2)}"], next_id)
+    if kind == 2:                     # multi-assignment sees pre-update row
+        return (["UPDATE t1 SET a = b, b = a "
+                 f"WHERE {_bool_expr(rng, T1_NUM, 1)}"], next_id)
+    # DELETE two ids + INSERT two fresh rows (unique new ids)
+    ids = f"{rng.randrange(next_id)}, {rng.randrange(next_id)}"
+    stmts = [f"DELETE FROM t1 WHERE id IN ({ids})"]
+    rows = _gen_rows_t1(rng, n=2)
+    rows = [(next_id + i,) + r[1:] for i, r in enumerate(rows)]
+    stmts.append("INSERT INTO t1 VALUES " + ", ".join(
+        "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows))
+    return stmts, next_id + 2
+
+
 def _run_differential(seed, n_queries):
     con, lite, rng = _make_engines(seed)
-    for _ in range(n_queries):
+    next_id = 45                      # == len(_gen_rows_t1(...))
+    for i in range(n_queries):
+        if i % 7 == 6:                # interleave a table mutation
+            stmts, next_id = _make_mutation(rng, next_id)
+            for s in stmts:
+                con.execute(s)
+                lite.execute(s)
         q = _make_query(rng)
         got = con.execute(q).fetchall()
         want = lite.execute(q).fetchall()
