@@ -48,6 +48,13 @@ class Table:
         default=(), metadata=dict(static=True))
     cat_names: tuple[str, ...] = dataclasses.field(
         default=(), metadata=dict(static=True))
+    # per cat col: None for native-integer categories, or the tuple of
+    # original labels for dictionary-encoded string/object columns (the
+    # reference ingests INTEGER categories only, triple/lift.cpp:34-37;
+    # this is the encode-at-the-door convenience it tells users to do by
+    # hand). Raw value v of column j decodes to cat_labels[j][v].
+    cat_labels: tuple = dataclasses.field(
+        default=(), metadata=dict(static=True))
 
     @property
     def n_rows(self) -> int:
@@ -60,6 +67,39 @@ class Table:
         for j in range(self.schema.cat_cols):
             out[j] = self.schema.decode(j, codes[j])
         return out
+
+    def to_pandas(self, nulls_as_na: bool = False):
+        """Materialize as a pandas DataFrame: numeric columns f64,
+        categorical columns as raw values (dictionary-encoded string
+        columns decode back to their labels; integer categories come out
+        as nullable Int64). By default CURRENT cell values are emitted —
+        the natural output surface after MICE, where originally-null slots
+        hold imputed values. Pass nulls_as_na=True to blank the
+        originally-null slots (NaN / pd.NA / None) instead — the faithful
+        `from_pandas` round trip for a table that was NOT imputed (its
+        null slots hold fill placeholders, not data)."""
+        import pandas as pd
+
+        data = {}
+        num = np.asarray(self.num_data, np.float64)
+        num_null = np.asarray(self.num_null)
+        for j, name in enumerate(self.num_names):
+            data[name] = (np.where(num_null[j], np.nan, num[j])
+                          if nulls_as_na else num[j])
+        raw = self.cat_values()
+        cat_null = np.asarray(self.cat_null)
+        labels = self.cat_labels or (None,) * self.schema.cat_cols
+        for j, name in enumerate(self.cat_names):
+            if labels[j] is not None:
+                col = np.asarray(labels[j], object)[raw[j]]
+                if nulls_as_na:
+                    col = np.where(cat_null[j], None, col)
+            else:
+                col = pd.array(raw[j], dtype="Int64")
+                if nulls_as_na:
+                    col[cat_null[j]] = pd.NA
+            data[name] = col
+        return pd.DataFrame(data)
 
     def with_num_col(self, j: int, values: jax.Array,
                      only_null: bool = True) -> "Table":
@@ -90,13 +130,15 @@ def from_pandas(df, schema: FeatureSchema | None = None) -> Table:
 
     Column dispatch follows the reference's rule (triple/lift.cpp:34-37):
     float dtypes ⇒ numeric, integer/boolean/categorical-of-int ⇒
-    categorical. Missing cells (NaN / pandas NA) set the null masks.
-    Non-numeric object/string columns are rejected — encode them to int
-    codes first (the reference only ingests numerics and INTEGER
-    categories)."""
+    categorical. String/object/categorical-of-string columns are
+    dictionary-encoded at the door — sorted-unique labels → codes 0..k−1,
+    the labels kept on `Table.cat_labels` so `to_pandas` decodes them back
+    (the reference only ingests INTEGER categories and tells users to
+    encode by hand; this does it for them). Missing cells (NaN / pandas
+    NA / None) set the null masks."""
     import pandas as pd
 
-    num_cols, cat_cols = [], []
+    num_cols, cat_cols, str_cols = [], [], set()
     for name in df.columns:
         s = df[name]
         if pd.api.types.is_float_dtype(s):
@@ -105,9 +147,8 @@ def from_pandas(df, schema: FeatureSchema | None = None) -> Table:
               or pd.api.types.is_bool_dtype(s)):
             cat_cols.append(name)
         else:
-            raise ValueError(
-                f"column {name!r} has unsupported dtype {s.dtype}; "
-                "encode strings/objects to integer categories first")
+            cat_cols.append(name)
+            str_cols.add(name)
     n = len(df)
     num = np.zeros((len(num_cols), n), np.float32)
     num_null = np.zeros((len(num_cols), n), bool)
@@ -117,15 +158,30 @@ def from_pandas(df, schema: FeatureSchema | None = None) -> Table:
         num[j] = np.where(num_null[j], 0.0, v)
     cat = np.zeros((len(cat_cols), n), np.int64)
     cat_null = np.zeros((len(cat_cols), n), bool)
+    labels: list = []
     for j, name in enumerate(cat_cols):
         s = df[name]
         isna = s.isna().to_numpy()
         cat_null[j] = isna
-        cat[j] = np.where(isna, 0,
-                          s.fillna(0).to_numpy(dtype=np.int64))
-    return from_numpy(num, cat, num_null, cat_null,
-                      num_names=tuple(num_cols), cat_names=tuple(cat_cols),
-                      schema=schema, rows_first=False)
+        if name in str_cols:
+            vals = s.to_numpy(dtype=object)
+            obs = vals[~isna]
+            try:
+                uniq = sorted({str(v) for v in obs})
+            except TypeError:
+                raise ValueError(
+                    f"column {name!r}: mixed un-encodable values") from None
+            lut = {v: i for i, v in enumerate(uniq)}
+            cat[j] = [0 if na else lut[str(v)]
+                      for v, na in zip(vals, isna)]
+            labels.append(tuple(uniq))
+        else:
+            cat[j] = np.where(isna, 0, s.fillna(0).to_numpy(dtype=np.int64))
+            labels.append(None)
+    t = from_numpy(num, cat, num_null, cat_null,
+                   num_names=tuple(num_cols), cat_names=tuple(cat_cols),
+                   schema=schema, rows_first=False)
+    return dataclasses.replace(t, cat_labels=tuple(labels))
 
 
 def from_numpy(num_data=None, cat_data=None, num_null=None, cat_null=None,

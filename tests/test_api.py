@@ -192,5 +192,60 @@ def test_from_pandas_dispatch_and_nulls():
     assert t.schema.cat_keys == ((4, 8), (0, 1))
     # raw values round-trip through codes
     assert t.cat_values()[0].tolist() == [4, 4, 4, 8]  # null slot = filler
-    with pytest.raises(ValueError):
-        from_pandas(pd.DataFrame({"s": ["x", "y"]}))
+
+
+def test_from_pandas_string_categories_round_trip():
+    """String/object columns dictionary-encode at the door (sorted-unique
+    labels → codes), and to_pandas decodes them back; nulls_as_na blanks
+    the originally-missing slots."""
+    import pytest
+    pd = pytest.importorskip("pandas")
+    import numpy as np
+    from duckdb_imputation_tpu.table import from_pandas
+
+    df = pd.DataFrame({
+        "x": [0.5, 1.5, np.nan, 2.5],
+        "color": ["red", None, "blue", "red"],
+        "g": pd.array([7, 9, None, 7], dtype="Int64"),
+    })
+    t = from_pandas(df)
+    assert t.cat_names == ("color", "g")
+    assert t.cat_labels == (("blue", "red"), None)
+    assert np.asarray(t.cat_null)[0].tolist() == [False, True, False, False]
+    # sorted-unique labels: blue=0, red=1
+    assert t.cat_values()[0].tolist() == [1, 0, 0, 1]  # null slot = filler
+
+    back = t.to_pandas(nulls_as_na=True)
+    got = back["color"].tolist()
+    assert got[0] == "red" and got[2] == "blue" and got[3] == "red"
+    assert pd.isna(got[1])
+    assert back["g"][0] == 7 and back["g"][3] == 7 and pd.isna(back["g"][2])
+    assert np.isnan(back["x"][2]) and back["x"][0] == 0.5
+    # default: current cell values (post-impute surface), no blanking
+    cur = t.to_pandas()
+    assert cur["color"].tolist() == ["red", "blue", "blue", "red"]
+
+
+def test_mice_over_string_categories():
+    """End-to-end: MICE on a DataFrame with a string categorical column;
+    imputed labels decode to valid category strings."""
+    import pytest
+    pd = pytest.importorskip("pandas")
+    import numpy as np
+    from duckdb_imputation_tpu.mice import run_mice_baseline
+    from duckdb_imputation_tpu.table import from_pandas
+
+    rng = np.random.default_rng(3)
+    n = 400
+    z = rng.normal(size=n)
+    color = np.where(z > 0, "warm", "cool").astype(object)
+    x = (z + 0.1 * rng.normal(size=n)).astype(np.float64)
+    miss = rng.choice(n, n // 5, replace=False)
+    color[miss] = None
+    df = pd.DataFrame({"x": x, "color": color})
+    t = from_pandas(df)
+    out = run_mice_baseline(t, iters=2, noise=False)
+    got = out.to_pandas()["color"].to_numpy()
+    truth = np.where(z > 0, "warm", "cool")
+    assert set(got) <= {"warm", "cool"}
+    assert (got[miss] == truth[miss]).mean() > 0.9
