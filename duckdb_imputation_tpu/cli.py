@@ -41,12 +41,15 @@ def cmd_impute(args):
 
     num = np.asarray(out.num_data)
     cat = out.cat_values()
+    labels = out.cat_labels or (None,) * cat.shape[0]
     names = list(out.num_names) + list(out.cat_names)
     with open(args.out, "w") as f:
         f.write(",".join(names) + "\n")
         for i in range(out.n_rows):
             row = [f"{num[j, i]:.7g}" for j in range(num.shape[0])]
-            row += [str(int(cat[j, i])) for j in range(cat.shape[0])]
+            # string-categorical columns decode back to their labels
+            row += [labels[j][int(cat[j, i])] if labels[j] is not None
+                    else str(int(cat[j, i])) for j in range(cat.shape[0])]
             f.write(",".join(row) + "\n")
     print(f"wrote {args.out} ({out.n_rows} rows)", file=sys.stderr)
 

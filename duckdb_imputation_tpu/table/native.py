@@ -43,6 +43,13 @@ def load_library() -> ctypes.CDLL:
     lib.dbi_n_cols.argtypes = [ctypes.c_void_p]
     lib.dbi_col_is_numeric.restype = ctypes.c_int
     lib.dbi_col_is_numeric.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_is_string.restype = ctypes.c_int
+    lib.dbi_col_is_string.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_labels_bytes.restype = ctypes.c_int64
+    lib.dbi_col_labels_bytes.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.dbi_col_labels_fill.restype = None
+    lib.dbi_col_labels_fill.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                        ctypes.c_char_p]
     lib.dbi_col_name.restype = ctypes.c_char_p
     lib.dbi_col_name.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.dbi_col_f32.restype = ctypes.POINTER(ctypes.c_float)
@@ -106,6 +113,19 @@ class NativeTable:
     def is_numeric(self, c: int) -> bool:
         return bool(self._lib.dbi_col_is_numeric(self._h, c))
 
+    def is_string(self, c: int) -> bool:
+        return bool(self._lib.dbi_col_is_string(self._h, c))
+
+    def col_labels(self, c: int) -> tuple[str, ...]:
+        """Sorted label dictionary of a string-categorical column; raw
+        value v decodes to labels[v]."""
+        nbytes = self._lib.dbi_col_labels_bytes(self._h, c)
+        if nbytes == 0:
+            return ()
+        buf = ctypes.create_string_buffer(int(nbytes))
+        self._lib.dbi_col_labels_fill(self._h, c, buf)
+        return tuple(buf.raw.decode().split("\n")[:-1])
+
     def _view(self, ptr, dtype):
         return np.ctypeslib.as_array(ptr, shape=(self.n_rows,)).view(dtype)
 
@@ -151,17 +171,22 @@ class NativeTable:
             num_null[j] = self.col_null(c)
         cat = np.zeros((len(cat_idx), n), np.int64)
         cat_null = np.zeros((len(cat_idx), n), bool)
-        keys = []
+        keys, labels = [], []
         for j, c in enumerate(cat_idx):
             cat[j] = self.col_i64(c)
             cat_null[j] = self.col_null(c)
             keys.append(tuple(int(v) for v in self.col_vocab(c)))
+            labels.append(self.col_labels(c) if self.is_string(c) else None)
         schema = FeatureSchema(num_cols=len(num_idx), cat_keys=tuple(keys))
-        return from_numpy(
+        t = from_numpy(
             num, cat, num_null, cat_null,
             num_names=tuple(self.col_name(c) for c in num_idx),
             cat_names=tuple(self.col_name(c) for c in cat_idx),
             schema=schema, rows_first=False)
+        if any(lb is not None for lb in labels):
+            import dataclasses
+            t = dataclasses.replace(t, cat_labels=tuple(labels))
+        return t
 
 
 def load_csv(path: str, has_header: bool = True,

@@ -9,6 +9,8 @@
 //     newlines, then parse chunks in parallel);
 //   * type dispatch per the reference's rule (FLOAT/DOUBLE => numeric,
 //     INTEGER => categorical, triple/lift.cpp:34-37), auto-inferred;
+//     string cells dictionary-encode (sorted labels -> codes; the
+//     reference ingests INTEGER categories only);
 //   * null handling: empty / NULL / NaN cells set a per-column null bitmap
 //     (the <col>_IS_NULL flags of partition.cpp:671-719);
 //   * column-major f32 / i64 buffers, 64-byte aligned, zero-copy exposed to
@@ -25,6 +27,7 @@
 #include <atomic>
 #include <cctype>
 #include <charconv>
+#include <cstdio>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
@@ -44,6 +47,7 @@ namespace {
 struct Column {
   std::string name;
   bool is_numeric = false;
+  bool is_string = false;  // dictionary-encoded string categorical
   // exactly one of these is populated, features-first contiguous
   std::vector<float> f32;
   std::vector<int64_t> i64;
@@ -51,6 +55,8 @@ struct Column {
   // categorical vocab (sorted unique observed values) + codes
   std::vector<int64_t> vocab;
   std::vector<int32_t> codes;  // value -> position in vocab; -1 for null
+  // for string columns: sorted labels; i64 holds indices into this
+  std::vector<std::string> labels;
 };
 
 struct Table {
@@ -62,16 +68,23 @@ struct Table {
 bool cell_is_null(const char* s, size_t len) {
   if (len == 0) return true;
   if (len == 4 && (strncasecmp(s, "null", 4) == 0)) return true;
+  if (len == 4 && (strncasecmp(s, "none", 4) == 0)) return true;
   if (len == 3 && (strncasecmp(s, "nan", 3) == 0)) return true;
+  if (len == 3 && (strncasecmp(s, "n/a", 3) == 0)) return true;
   if (len == 2 && (strncasecmp(s, "na", 2) == 0)) return true;
   return false;
 }
 
 // Parse one row-range of the CSV body into per-column staging vectors.
 struct Shard {
-  std::vector<std::vector<double>> nums;    // raw parsed values
+  std::vector<std::vector<double>> nums;    // raw parsed values / label ids
   std::vector<std::vector<uint8_t>> nulls;
   std::vector<std::vector<uint8_t>> is_float;  // any cell had . e E
+  // string-categorical staging: per col a shard-local label dictionary;
+  // strcell marks cells whose nums value is a LOCAL label id
+  std::vector<std::vector<uint8_t>> strcell;
+  std::vector<std::vector<std::string>> uniq;
+  std::vector<std::map<std::string, int32_t>> dict;
   int64_t rows = 0;
 };
 
@@ -80,22 +93,43 @@ void parse_range(const char* data, size_t begin, size_t end, size_t ncols,
   out->nums.assign(ncols, {});
   out->nulls.assign(ncols, {});
   out->is_float.assign(ncols, std::vector<uint8_t>(1, 0));
+  out->strcell.assign(ncols, {});
+  out->uniq.assign(ncols, {});
+  out->dict.assign(ncols, {});
   size_t i = begin;
   while (i < end) {
     size_t col = 0;
     while (i <= end && col < ncols) {
       size_t start = i;
       while (i < end && data[i] != ',' && data[i] != '\n') i++;
-      size_t len = i - start;
-      bool null = cell_is_null(data + start, len);
+      // trim surrounding whitespace / trailing \r before any dispatch
+      size_t ts = start, tl = i - start;
+      while (tl && (data[ts] == ' ' || data[ts] == '\t')) { ts++; tl--; }
+      while (tl && (data[ts + tl - 1] == '\r' || data[ts + tl - 1] == ' ' ||
+                    data[ts + tl - 1] == '\t')) tl--;
+      bool null = cell_is_null(data + ts, tl);
       double v = 0.0;
+      uint8_t sc = 0;
       if (!null) {
         char* endp = nullptr;
-        v = strtod(data + start, &endp);
-        if (endp == data + start) {
-          null = true;  // unparseable -> treat as missing
+        v = strtod(data + ts, &endp);
+        if (endp != data + ts + tl) {
+          // not a clean number -> string category (dictionary-encode
+          // shard-locally; merged and re-mapped at type decision)
+          std::string tok(data + ts, tl);
+          auto it = out->dict[col].find(tok);
+          int32_t id;
+          if (it == out->dict[col].end()) {
+            id = int32_t(out->uniq[col].size());
+            out->uniq[col].push_back(tok);
+            out->dict[col].emplace(std::move(tok), id);
+          } else {
+            id = it->second;
+          }
+          v = double(id);
+          sc = 1;
         } else {
-          for (size_t k = start; k < start + len; k++) {
+          for (size_t k = ts; k < ts + tl; k++) {
             char ch = data[k];
             if (ch == '.' || ch == 'e' || ch == 'E') {
               out->is_float[col][0] = 1;
@@ -106,6 +140,7 @@ void parse_range(const char* data, size_t begin, size_t end, size_t ncols,
       }
       out->nums[col].push_back(v);
       out->nulls[col].push_back(null ? 1 : 0);
+      out->strcell[col].push_back(sc);
       col++;
       if (i < end && data[i] == ',') {
         i++;
@@ -117,6 +152,7 @@ void parse_range(const char* data, size_t begin, size_t end, size_t ncols,
     for (; col < ncols; col++) {
       out->nums[col].push_back(0.0);
       out->nulls[col].push_back(1);
+      out->strcell[col].push_back(0);
     }
     out->rows++;
     while (i < end && data[i] != '\n') i++;
@@ -218,12 +254,62 @@ void* dbi_load_csv(const char* path, int has_header, int n_threads) {
   t->n_rows = n_rows;
   t->cols.resize(ncols);
 
-  // type decision: float if ANY shard saw a float-looking token
+  // type decision: string if ANY shard saw a non-numeric token (strings
+  // beat floats — one "red" makes the column categorical-of-string);
+  // else float if ANY shard saw a float-looking token
   for (size_t c = 0; c < ncols; c++) {
-    bool is_float = false;
-    for (auto& s : shards) is_float |= (s.is_float[c][0] != 0);
+    bool is_float = false, saw_string = false;
+    for (auto& s : shards) {
+      is_float |= (s.is_float[c][0] != 0);
+      saw_string |= !s.uniq[c].empty();
+    }
     Column& col = t->cols[c];
     col.name = names[c];
+    if (saw_string) {
+      col.is_numeric = false;
+      col.is_string = true;
+      // global sorted label dictionary: all shard-local labels plus the
+      // canonical "%g" text of numeric-parsed cells (a column with "red"
+      // and "3" treats 3 as the label "3")
+      std::map<std::string, int32_t> glob;
+      char nbuf[64];
+      for (auto& s : shards) {
+        for (auto& u : s.uniq[c]) glob.emplace(u, 0);
+        for (int64_t i = 0; i < s.rows; i++) {
+          if (!s.nulls[c][i] && !s.strcell[c][i]) {
+            snprintf(nbuf, sizeof nbuf, "%g", s.nums[c][i]);
+            glob.emplace(nbuf, 0);
+          }
+        }
+      }
+      int32_t next_id = 0;
+      for (auto& kv : glob) {
+        kv.second = next_id++;
+        col.labels.push_back(kv.first);
+      }
+      col.i64.reserve(n_rows);
+      col.null_mask.reserve(n_rows);
+      for (auto& s : shards) {
+        std::vector<int32_t> remap(s.uniq[c].size());
+        for (size_t u = 0; u < s.uniq[c].size(); u++)
+          remap[u] = glob[s.uniq[c][u]];
+        for (int64_t i = 0; i < s.rows; i++) {
+          uint8_t nul = s.nulls[c][i];
+          int64_t vv = 0;
+          if (!nul) {
+            if (s.strcell[c][i]) {
+              vv = remap[size_t(s.nums[c][i])];
+            } else {
+              snprintf(nbuf, sizeof nbuf, "%g", s.nums[c][i]);
+              vv = glob[nbuf];
+            }
+          }
+          col.i64.push_back(vv);
+          col.null_mask.push_back(nul);
+        }
+      }
+      continue;
+    }
     col.is_numeric = is_float;
     col.null_mask.reserve(n_rows);
     if (is_float) {
@@ -277,6 +363,27 @@ int64_t dbi_n_cols(void* h) { return int64_t(static_cast<Table*>(h)->cols.size()
 
 int dbi_col_is_numeric(void* h, int64_t c) {
   return static_cast<Table*>(h)->cols[c].is_numeric ? 1 : 0;
+}
+
+int dbi_col_is_string(void* h, int64_t c) {
+  return static_cast<Table*>(h)->cols[c].is_string ? 1 : 0;
+}
+
+// '\n'-joined label blob (this parser has no quoting, so labels can
+// contain neither commas nor newlines): total bytes, then fill
+int64_t dbi_col_labels_bytes(void* h, int64_t c) {
+  int64_t total = 0;
+  for (auto& s : static_cast<Table*>(h)->cols[c].labels)
+    total += int64_t(s.size()) + 1;
+  return total;
+}
+
+void dbi_col_labels_fill(void* h, int64_t c, char* buf) {
+  for (auto& s : static_cast<Table*>(h)->cols[c].labels) {
+    memcpy(buf, s.data(), s.size());
+    buf += s.size();
+    *buf++ = '\n';
+  }
 }
 
 const char* dbi_col_name(void* h, int64_t c) {
@@ -469,6 +576,17 @@ void* dbi_csv_next_chunk(void* sh, int64_t max_bytes) {
   }
   for (auto& th : threads) th.join();
 
+  for (size_t c = 0; c < ncols; c++) {
+    for (auto& sh2 : shards) {
+      if (!sh2.uniq[c].empty()) {
+        s->error = "string categorical column '" + s->names[c] +
+                   "': the streaming reader needs a fixed global label "
+                   "dictionary; pre-encode to integer categories or load "
+                   "with read_csv (which dictionary-encodes)";
+        return nullptr;
+      }
+    }
+  }
   if (!s->types_decided) {
     s->col_is_numeric.assign(ncols, 0);
     for (size_t c = 0; c < ncols; c++) {
