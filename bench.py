@@ -43,23 +43,56 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def slope_time(run, k_lo, k_hi, reps=2):
-    """Min-of-reps slope: the chip is shared through the tunnel (±30%
-    run-to-run), so each (k_hi, k_lo) timing pair repeats `reps` times and
-    the smallest per-iteration slope wins (interference only ever adds
-    time). `run(iters)` must block until the device result is on host."""
+def _pow2_at_least(v: float) -> int:
+    k = 1
+    while k < v:
+        k *= 2
+    return k
+
+
+def slope_time(run, k_lo, k_hi, reps=5, target_s=1.0, k_max=65536):
+    """Robust slope estimate of per-iteration device time.
+
+    Two properties matter on this shared chip (±30% interference through
+    the tunnel, ~100 ms RPC jitter per dispatch):
+
+    * The window must carry enough SIGNAL: a calibration pass estimates the
+      per-iteration time and k_hi is widened (powers of two, so repeat runs
+      hit the compile cache) until the k_hi call holds ≥ `target_s` seconds
+      of device work — round-3's too-short windows (e.g. 4-44 iterations of
+      a 0.24 ms kernel = 10 ms of signal) produced physically impossible
+      readings.
+    * The estimator must not be biased: round 3 took min-of-SLOPES, which
+      selects the most-negative noise draw (d_hi caught a fast run, d_lo a
+      slow one) and can land UNDER the true floor. Interference only ever
+      ADDS time, so the unbiased-robust choice is min over reps of each
+      endpoint separately: slope = (min d_hi − min d_lo) / (k_hi − k_lo).
+
+    `run(iters)` must block until the device result is on host."""
     run(k_lo)
     run(k_hi)  # warm both compiles
-    best = float("inf")
+    t0 = time.perf_counter()
+    run(k_hi)
+    d_hi = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    run(k_lo)
+    d_lo = time.perf_counter() - t0
+    per = max((d_hi - d_lo) / (k_hi - k_lo), 1e-9)
+    want = target_s / per
+    if want > k_hi:  # widen (never narrow) until k_hi holds >= target_s
+        k_hi = min(_pow2_at_least(want), k_max)
+        k_lo = max(k_lo, k_hi // 16)
+        run(k_lo)
+        run(k_hi)  # warm the widened compiles
+    best_hi = best_lo = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         run(k_hi)
-        d_hi = time.perf_counter() - t0
+        best_hi = min(best_hi, time.perf_counter() - t0)
         t0 = time.perf_counter()
         run(k_lo)
-        d_lo = time.perf_counter() - t0
-        best = min(best, (d_hi - d_lo) / (k_hi - k_lo))
-    return best
+        best_lo = min(best_lo, time.perf_counter() - t0)
+    return (best_hi - best_lo) / (k_hi - k_lo)
 
 
 def bench_tpu(schema):
@@ -103,7 +136,7 @@ def bench_tpu(schema):
                                  jnp.zeros((p, p), jnp.float32))
 
     per = slope_time(lambda k: np.asarray(loop(x, c, w, iters=k)),
-                     8, 128, reps=3)
+                     8, 128, k_max=16384)
     log(f"tpu pallas slope: {per * 1e3:.3f} ms/iter "
         f"-> {N_ROWS / per / 1e9:.2f}G rows/s, "
         f"{N_ROWS * 28 / per / 1e9:.0f} GB/s effective")
@@ -373,17 +406,16 @@ def bench_mice_round(schema, n=10_000_000):
             iters=jnp.int32(iters), kernel="pallas_fast")
         return float(np.asarray(xo[1, :4]).sum())
 
-    # k_hi - k_lo must be large enough that the round signal dominates the
-    # ~100 ms RPC jitter of this environment (20 x 26 ms was marginal and
-    # produced nonsense readings; 30 rounds @100M is ~0.8 s of signal)
-    k_lo, k_hi = (10, 210) if n <= 20_000_000 else (12, 42)
     run(1, x)                                   # compile
     calls = [0]
 
     def timed(k):
         calls[0] += 1
         run(k, x * (1.0 + 1e-6 * calls[0]))     # fresh donated buffers
-    per_round = slope_time(timed, k_lo, k_hi)
+    # slope_time auto-widens the window to >= 1 s of device signal; cap
+    # the 100M config lower so one k_hi call stays a few seconds
+    per_round = slope_time(timed, 8, 64,
+                           k_max=4096 if n <= 20_000_000 else 128)
     log(f"MICE round @{n} rows (1 num + 1 cat null col): "
         f"{per_round * 1e3:.1f} ms/round")
     return per_round
@@ -422,13 +454,30 @@ def main():
                 log(f"{big_n // 1_000_000}M MICE config skipped: "
                     f"{str(e)[:120]}")
     mice_round_s = bench_mice_round(schema)
+
+    # internal consistency: orderings that CANNOT physically hold signal a
+    # broken measurement (the round-3 failure mode), not a fast kernel
+    sanity = []
+    pres = extras.get("qda_grouped_presorted_rows_per_s", 0)
+    if pres > 1.15 * rows_per_s:
+        sanity.append("presorted-grouped exceeds the ungrouped headline "
+                      f"({pres / 1e9:.1f}G > {rows_per_s / 1e9:.1f}G): "
+                      "grouping cannot beat the same kernel ungrouped")
+    m10 = round(mice_round_s * 1e3, 1)
+    m100 = extras.get("mice_round_ms_100M_rows")
+    if m100 and not (6 * m10 <= m100 <= 15 * m10):
+        sanity.append(f"100M MICE round ({m100} ms) is not ~10x the 10M "
+                      f"round ({m10} ms)")
+    for s in sanity:
+        log("SANITY VIOLATION:", s)
     print(json.dumps({
         "metric": "cofactor_agg_rows_per_s_per_chip (sum_to_triple_4_2 masked)",
         "value": round(rows_per_s),
         "unit": "rows/s",
         "vs_baseline": round(rows_per_s / base, 1),
-        "mice_round_ms_10M_rows": round(mice_round_s * 1e3, 1),
+        "mice_round_ms_10M_rows": m10,
         **extras,
+        "sanity_violations": sanity,
     }))
 
 

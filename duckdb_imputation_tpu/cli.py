@@ -25,7 +25,8 @@ def cmd_impute(args):
         res = impute_csv_stream(
             args.csv, args.out, iters=args.iters, noise=not args.no_noise,
             linreg_iters=args.linreg_iters, timer=timer,
-            block_bytes=args.block_mb << 20)
+            block_bytes=args.block_mb << 20,
+            dirty_budget_rows=args.dirty_budget_rows)
         print(timer.report(), file=sys.stderr)
         print(f"wrote {args.out} ({res.ss.n_rows} rows, "
               f"{len(res.idx)} dirty)", file=sys.stderr)
@@ -72,6 +73,9 @@ def cmd_train(args):
     obs = ~(np.asarray(t.num_null).any(0) | np.asarray(t.cat_null).any(0))
     w = obs.astype(np.float32)
     label = args.label
+    # per-file string dictionaries, persisted in the bundle so predict can
+    # re-encode a DIFFERENT csv's labels through the training vocabulary
+    file_labels = t.cat_labels or (None,) * len(t.cat_names)
 
     if args.model == "linreg":
         if label not in t.num_names:
@@ -85,7 +89,8 @@ def cmd_train(args):
             compute_variance=args.variance, normalize=args.normalize)
         bundle = ModelBundle("linreg", params, t.schema, t.num_names,
                              t.cat_names, label, "num", (),
-                             args.normalize, args.variance)
+                             args.normalize, args.variance,
+                             cat_labels=file_labels)
     else:
         if label not in t.cat_names:
             raise SystemExit(f"label {label!r} is not a categorical column "
@@ -100,7 +105,9 @@ def cmd_train(args):
                                normalize=args.normalize)
             bundle = ModelBundle("lda", params, t.schema, t.num_names,
                                  t.cat_names, label, "cat", label_keys,
-                                 args.normalize, False)
+                                 args.normalize, False,
+                                 cat_labels=file_labels,
+                                 label_labels=file_labels[j] or ())
         else:
             # QDA/NB: label column excluded from features; one triple per
             # class via the grouped kernel (GROUP BY label)
@@ -123,7 +130,11 @@ def cmd_train(args):
                                    if k != j)
             bundle = ModelBundle(args.model, params, fs, t.num_names,
                                  feat_cat_names, label, "cat",
-                                 label_keys, args.normalize, False)
+                                 label_keys, args.normalize, False,
+                                 cat_labels=tuple(
+                                     lb for k, lb in enumerate(file_labels)
+                                     if k != j),
+                                 label_labels=file_labels[j] or ())
     save_model(args.out, bundle)
     print(f"wrote {args.out} ({args.model}, label={label}, "
           f"{len(bundle.params)} params, {int(obs.sum())} training rows)",
@@ -145,6 +156,8 @@ def cmd_predict(args):
     b = load_model(args.params)
     t = read_csv(args.csv)
     raw_cat = t.cat_values()
+    test_labels = t.cat_labels or (None,) * len(t.cat_names)
+    blabels = b.cat_labels or (None,) * len(b.cat_names)
 
     def num_block(names):
         missing = [nm for nm in names if nm not in t.num_names]
@@ -153,17 +166,39 @@ def cmd_predict(args):
         return np.asarray(t.num_data)[[t.num_names.index(nm)
                                        for nm in names]]
 
-    def cat_block(names, schema):
+    def cat_block(names, schema, train_labels):
+        """Raw categorical columns re-encoded against the TRAINING vocab.
+
+        String columns carry per-FILE sorted-label codes, so the test
+        file's codes are remapped through the bundle's persisted training
+        dictionary first (unseen labels -> miss code, i.e. contribute 0 /
+        probability 0, matching find_in_array, ML/utils.cpp:152-162)."""
         missing = [nm for nm in names if nm not in t.cat_names]
         if missing:
             raise SystemExit(f"CSV lacks categorical columns {missing}")
-        raw = raw_cat[[t.cat_names.index(nm) for nm in names]]
-        return schema.encode(raw.T).T.astype(np.int32)
+        cols = []
+        for nm, train_lb in zip(names, train_labels):
+            jt = t.cat_names.index(nm)
+            raw = raw_cat[jt]
+            test_lb = test_labels[jt]
+            if (train_lb is None) != (test_lb is None):
+                raise SystemExit(
+                    f"column {nm!r}: trained as "
+                    f"{'string' if train_lb is not None else 'integer'}-"
+                    f"categorical but the CSV parses it as the other kind")
+            if train_lb is not None:
+                to_train = {s: i for i, s in enumerate(train_lb)}
+                remap = np.asarray([to_train.get(s, -1) for s in test_lb],
+                                   np.int64)
+                raw = remap[raw]
+            cols.append(raw)
+        return schema.encode(np.stack(cols, axis=1)).T.astype(np.int32)
 
     if b.model == "linreg":
         feat_names = [nm for nm in b.num_names if nm != b.label_name]
         x = num_block(feat_names)
-        codes = cat_block(b.cat_names, b.schema) if b.cat_names else None
+        codes = (cat_block(b.cat_names, b.schema, blabels)
+                 if b.cat_names else None)
         key = jax.random.PRNGKey(args.seed)
         pred = np.asarray(linreg_predict(
             b.params, x, codes, add_noise=args.noise,
@@ -172,7 +207,8 @@ def cmd_predict(args):
         j = b.cat_names.index(b.label_name)
         x = num_block(b.num_names)
         other = [nm for k, nm in enumerate(b.cat_names) if k != j]
-        codes = (cat_block(other, b.schema.without_cat(j))
+        codes = (cat_block(other, b.schema.without_cat(j),
+                           [lb for k, lb in enumerate(blabels) if k != j])
                  if other else None)
         idx = np.asarray(lda_predict(b.params, x, codes,
                                      normalize=b.normalize))
@@ -181,19 +217,30 @@ def cmd_predict(args):
         pred = np.asarray(b.label_keys, np.int64)[idx]
     elif b.model == "qda":
         x = num_block(b.num_names)
-        codes = cat_block(b.cat_names, b.schema) if b.cat_names else None
+        # qda_train hardwires drop_first (qda.cpp:47): codes must address
+        # the DROP-FIRST vocab, where the dropped first category maps to
+        # the miss code and becomes the all-zero one-hot block
+        codes = (cat_block(b.cat_names, b.schema.drop_first(), blabels)
+                 if b.cat_names else None)
         pred = np.asarray(qda_predict(b.params, x, codes,
                                       normalize=b.normalize))
     else:
         x = num_block(b.num_names)
-        codes = cat_block(b.cat_names, b.schema) if b.cat_names else None
+        codes = (cat_block(b.cat_names, b.schema, blabels)
+                 if b.cat_names else None)
         pred = np.asarray(nb_predict(b.params, x, codes))
 
     col = f"{b.label_name}_pred"
     with open(args.out, "w") as f:
         f.write(col + "\n")
         if b.label_kind == "cat" or b.model in ("qda", "nb"):
-            f.write("\n".join(str(int(v)) for v in pred) + "\n")
+            if b.label_labels:
+                # string label column: predictions are training codes;
+                # decode back to the label strings
+                f.write("\n".join(b.label_labels[int(v)] for v in pred)
+                        + "\n")
+            else:
+                f.write("\n".join(str(int(v)) for v in pred) + "\n")
         else:
             f.write("\n".join(f"{v:.7g}" for v in pred) + "\n")
     print(f"wrote {args.out} ({len(pred)} predictions)", file=sys.stderr)
@@ -285,6 +332,10 @@ def main(argv=None):
     from .config import enable_compilation_cache
     enable_compilation_cache()
     ap = argparse.ArgumentParser(prog="duckdb_imputation_tpu")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu, tpu). Needed on "
+                         "hosts that pin a platform at the runtime level "
+                         "where the JAX_PLATFORMS env var is ignored")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("impute", help="MICE-impute a CSV")
@@ -297,6 +348,10 @@ def main(argv=None):
                         "the file is never resident")
     p.add_argument("--block-mb", type=int, default=64,
                    help="streamed block size (stream mode)")
+    p.add_argument("--dirty-budget-rows", type=int, default=None,
+                   help="stream mode: spill the dirty-row cache to disk "
+                        "beyond this many rows (bounded host memory at "
+                        "high missing rates; rounds run windowed)")
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--linreg-iters", type=int, default=10000)
     p.add_argument("--no-noise", action="store_true",
@@ -342,6 +397,9 @@ def main(argv=None):
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

@@ -25,8 +25,9 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..ring.streaming import (Chunk, DirtyCache, StreamFills, StreamSchema,
-                              aggregate_stream, _normalize_chunk)
+from ..ring.streaming import (Chunk, DirtyCache, DirtySpill, StreamFills,
+                              StreamSchema, aggregate_stream,
+                              _normalize_chunk)
 from ..table.table import Table
 from ..utils.profiling import PhaseTimer
 from .low import run_delta_rounds
@@ -59,22 +60,33 @@ def _dirty_table(cache: DirtyCache, ss: StreamSchema,
 class StreamImputation:
     """Result of out-of-core MICE: everything needed to rewrite the source.
 
-    dirty: the imputed dirty rows (Table over ss.schema).
+    dirty: the imputed dirty rows (Table over ss.schema), or None when the
+           dirty set exceeded the budget and lives in `spill` instead.
     idx:   their global row indices (ascending).
     """
-    dirty: Table
+    dirty: Table | None
     idx: np.ndarray
     fills: StreamFills
     ss: StreamSchema
+    spill: DirtySpill | None = None
+
+    def _dirty_slice(self, lo: int, hi: int):
+        """(num f32[d, m], cat RAW i64[c, m]) of dirty rows [lo, hi)."""
+        if self.spill is not None:
+            num, cat, _, _ = self.spill.window(lo, hi)
+            return num, cat
+        schema = self.ss.schema
+        return (np.asarray(self.dirty.num_data)[:, lo:hi],
+                self.dirty.cat_values()[:, lo:hi] if schema.cat_cols
+                else None)
 
     def impute_chunks(self, chunk_source):
         """Re-stream the source, yielding (num f32[d, m], cat i64[c, m])
         chunks with every null cell replaced by its imputed value (numeric)
         / imputed RAW category value. Chunks must arrive in the same order
-        as the aggregation passes saw them."""
+        as the aggregation passes saw them. Dirty values are sliced lazily
+        (bounded memory with a spill-backed cache)."""
         schema = self.ss.schema
-        num_d = np.asarray(self.dirty.num_data)
-        cat_d = self.dirty.cat_values() if schema.cat_cols else None
         pos = 0          # cursor into self.idx
         row0 = 0
         for raw in chunk_source():
@@ -87,15 +99,131 @@ class StreamImputation:
                 hi += 1
             if hi > pos:
                 local = self.idx[pos:hi] - row0
+                num_d, cat_d = self._dirty_slice(pos, hi)
                 for j in range(schema.num_cols):
                     nm = num_null[j, local]
-                    out_num[j, local[nm]] = num_d[j, pos:hi][nm]
+                    out_num[j, local[nm]] = num_d[j][nm]
                 for j in range(schema.cat_cols):
                     cm = cat_null[j, local]
-                    out_cat[j, local[cm]] = cat_d[j, pos:hi][cm]
+                    out_cat[j, local[cm]] = cat_d[j][cm]
             pos = hi
             row0 += m
             yield out_num, out_cat
+
+
+def _spill_init_fill(spill: DirtySpill, ss: StreamSchema,
+                     fills: StreamFills, window: int) -> None:
+    """Write the AVG/MODE init fills (partition.cpp:42-57) into the spilled
+    null cells, one bounded window at a time."""
+    schema = ss.schema
+    for lo in range(0, spill.n, window):
+        hi = min(lo + window, spill.n)
+        for j in range(schema.num_cols):
+            mask = spill.num_null[lo:hi, j]
+            if mask.any():
+                spill.write_num(j, lo, np.full(hi - lo, fills.num_means[j],
+                                               np.float32), mask)
+        for j in range(schema.cat_cols):
+            mask = spill.cat_null[lo:hi, j]
+            if mask.any() and schema.cat_sizes[j]:
+                raw_mode = int(schema.decode(
+                    j, np.asarray([fills.cat_modes[j]]))[0])
+                spill.write_cat(j, lo, np.full(hi - lo, raw_mode, np.int64),
+                                mask)
+
+
+def run_delta_rounds_spill(spill: DirtySpill, full, ss: StreamSchema, *,
+                           iters: int = 5, window: int,
+                           lda_shrinkage: float = 0.001,
+                           linreg_step: float = 0.001,
+                           linreg_lambda: float = 0.0,
+                           linreg_iters: int = 10000, noise: bool = True,
+                           seed: int = 0,
+                           timer: PhaseTimer | None = None):
+    """The delta rounds of run_MICE_low (imputation_low.cpp:85-194) against
+    a DISK-backed dirty store: every delta triple is the SUM of per-window
+    triples (the ring sum makes windowing exact), training consumes
+    `full − Σ_w delta_w`, and predictions write back through the memmap one
+    window at a time. Peak host memory is O(window + (P+K)²) regardless of
+    the missing rate. With `noise`, draws are keyed per (round, column) but
+    windowed shapes make them differ from the in-core path's draws —
+    bit-parity with DirtyCache rounds holds for noise=False only."""
+    import jax
+
+    from ..models import lda_predict, lda_train, linreg_predict, linreg_train
+    from ..ring.sum import sum_to_triple
+    from ..ring.triple import Triple, triple_add, triple_sub
+
+    timer = timer or PhaseTimer()
+    schema = ss.schema
+    key = jax.random.PRNGKey(seed)
+
+    def windows():
+        for lo in range(0, spill.n, window):
+            yield lo, min(lo + window, spill.n)
+
+    def encode(cat):
+        return (schema.encode(cat.T).T.astype(np.int32) if schema.cat_cols
+                else None)
+
+    def delta_col(kind: str, col: int) -> Triple:
+        total = None
+        for lo, hi in windows():
+            num, cat, nn, cn = spill.window(lo, hi)
+            mask = nn[col] if kind == "num" else cn[col]
+            if not mask.any():
+                continue
+            tr = sum_to_triple(num, encode(cat),
+                               mask.astype(np.float32), schema=schema)
+            total = tr if total is None else triple_add(total, tr)
+        return total if total is not None else Triple.zeros(schema)
+
+    for _ in range(iters):
+        for col in ss.nullable_cat:
+            with timer.phase("cofactor_delta"):
+                train = triple_sub(full, delta_col("cat", col))
+            with timer.phase("train"):
+                params = lda_train(train, schema, label=col,
+                                   shrinkage=lda_shrinkage)
+            with timer.phase("impute"):
+                other = [j for j in range(schema.cat_cols) if j != col]
+                for lo, hi in windows():
+                    num, cat, nn, cn = spill.window(lo, hi)
+                    mask = cn[col]
+                    if not mask.any():
+                        continue
+                    codes = encode(cat)
+                    pred_idx = np.asarray(lda_predict(
+                        params, num, codes[other] if other else None))
+                    raw = schema.decode(col, pred_idx)
+                    spill.write_cat(col, lo, raw, mask)
+            with timer.phase("cofactor_readd"):
+                full = triple_add(train, delta_col("cat", col))
+
+        for col in ss.nullable_num:
+            with timer.phase("cofactor_delta"):
+                train = triple_sub(full, delta_col("num", col))
+            with timer.phase("train"):
+                params = linreg_train(train, schema, label=col,
+                                      step_size=linreg_step,
+                                      lam=linreg_lambda,
+                                      max_iters=linreg_iters,
+                                      compute_variance=noise)
+            with timer.phase("impute"):
+                keep = [j for j in range(schema.num_cols) if j != col]
+                key, sub = jax.random.split(key)
+                for w_i, (lo, hi) in enumerate(windows()):
+                    num, cat, nn, cn = spill.window(lo, hi)
+                    mask = nn[col]
+                    if not mask.any():
+                        continue
+                    pred = np.asarray(linreg_predict(
+                        params, num[keep], encode(cat), add_noise=noise,
+                        key=jax.random.fold_in(sub, w_i)))
+                    spill.write_num(col, lo, pred, mask)
+            with timer.phase("cofactor_readd"):
+                full = triple_add(train, delta_col("num", col))
+    return full
 
 
 def run_mice_stream(chunk_source, iters: int = 5, *,
@@ -104,17 +232,33 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
                     linreg_step: float = 0.001, linreg_lambda: float = 0.0,
                     linreg_iters: int = 10000, noise: bool = True,
                     seed: int = 0, timer: PhaseTimer | None = None,
-                    mesh=None) -> StreamImputation:
+                    mesh=None,
+                    dirty_budget_rows: int | None = None) -> StreamImputation:
     """MICE over a chunk stream (callable → iterator of ring.streaming.Chunk
     or (num, cat[, num_null, cat_null]) tuples). See module docstring.
     With `mesh`, the streaming Gram pass row-shards each chunk over the
     device mesh (psum combine); the delta rounds run on the dirty cache,
-    which is small by the low-missing premise."""
+    which is small by the low-missing premise. At HIGH missing rates pass
+    `dirty_budget_rows`: beyond that many dirty rows the cache spills to
+    disk and the rounds run windowed (run_delta_rounds_spill) with peak
+    host memory O(chunk + budget + (P+K)²) instead of O(dirty)."""
     timer = timer or PhaseTimer()
     kw = dict(chunk_rows=chunk_rows) if chunk_rows else {}
     with timer.phase("stream_aggregate"):
-        full, fills, ss, cache = aggregate_stream(chunk_source, mesh=mesh,
-                                                  **kw)
+        full, fills, ss, cache = aggregate_stream(
+            chunk_source, mesh=mesh, dirty_budget_rows=dirty_budget_rows,
+            **kw)
+    if isinstance(cache, DirtySpill):
+        window = int(dirty_budget_rows)
+        with timer.phase("prepare"):
+            _spill_init_fill(cache, ss, fills, window)
+        run_delta_rounds_spill(
+            cache, full, ss, iters=iters, window=window,
+            lda_shrinkage=lda_shrinkage, linreg_step=linreg_step,
+            linreg_lambda=linreg_lambda, linreg_iters=linreg_iters,
+            noise=noise, seed=seed, timer=timer)
+        return StreamImputation(dirty=None, idx=np.asarray(cache.idx),
+                                fills=fills, ss=ss, spill=cache)
     with timer.phase("prepare"):
         t = _dirty_table(cache, ss, fills)
         parts = build_partitions(t)
@@ -143,9 +287,11 @@ def impute_csv_stream(in_path: str, out_path: str, iters: int = 5, *,
     res = run_mice_stream(source, iters=iters, noise=noise, seed=seed,
                           timer=timer, **mice_kw)
 
-    # column order/types of the file (decided from the first chunk,
-    # exactly as both aggregation passes saw them)
-    probe = CsvStream(in_path, has_header, 1 << 16)
+    # column order/types of the file: probe with the SAME block size the
+    # aggregation passes used — a stream fixes each column's type from its
+    # first chunk, so a differently-sized probe could type a column int
+    # where the data passes saw its first float later in a bigger block
+    probe = CsvStream(in_path, has_header, block_bytes)
     names = probe.col_names
     nt = probe.next_chunk()
     kinds = [nt.is_numeric(c) for c in range(nt.n_cols)]

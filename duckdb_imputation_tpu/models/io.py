@@ -34,10 +34,22 @@ class ModelBundle:
     label_keys: tuple[int, ...]  # label vocab (class values; () for linreg)
     normalize: bool = False
     has_variance: bool = False   # linreg: params carry the noise std
+    # String-categorical dictionaries, persisted so a test CSV whose label
+    # sets differ from the training CSV's re-encodes through the TRAINING
+    # vocabulary (raw codes are per-file sorted-label indices otherwise —
+    # silently wrong across files). Per feature cat column: None for
+    # native-integer categories, else the training label tuple.
+    cat_labels: tuple = ()
+    # Training label strings of a string-typed label column (() = integer).
+    label_labels: tuple = ()
 
 
 def save_model(path: str, bundle: ModelBundle) -> None:
     keys = bundle.schema.cat_keys
+    cat_labels = bundle.cat_labels or (None,) * len(bundle.cat_names)
+    label_sizes = np.array([-1 if lb is None else len(lb)
+                            for lb in cat_labels], np.int64)
+    labels_flat = [s for lb in cat_labels if lb is not None for s in lb]
     np.savez(
         path,
         model=np.array(bundle.model),
@@ -54,6 +66,9 @@ def save_model(path: str, bundle: ModelBundle) -> None:
         label_keys=np.asarray(bundle.label_keys, np.int64),
         normalize=np.array(bundle.normalize),
         has_variance=np.array(bundle.has_variance),
+        cat_label_sizes=label_sizes,
+        cat_labels_flat=np.array(labels_flat, dtype=np.str_),
+        label_labels=np.array(list(bundle.label_labels), dtype=np.str_),
     )
 
 
@@ -67,6 +82,19 @@ def load_model(path: str) -> ModelBundle:
         off += int(s)
     schema = FeatureSchema(num_cols=int(z["num_cols"]),
                            cat_keys=tuple(keys))
+    cat_labels: tuple = ()
+    label_labels: tuple = ()
+    if "cat_label_sizes" in z.files:  # absent in pre-round-4 bundles
+        lbs, off = [], 0
+        flat = [str(s) for s in z["cat_labels_flat"]]
+        for s in z["cat_label_sizes"]:
+            if int(s) < 0:
+                lbs.append(None)
+            else:
+                lbs.append(tuple(flat[off:off + int(s)]))
+                off += int(s)
+        cat_labels = tuple(lbs)
+        label_labels = tuple(str(s) for s in z["label_labels"])
     return ModelBundle(
         model=str(z["model"]),
         params=np.asarray(z["params"], np.float32),
@@ -78,4 +106,6 @@ def load_model(path: str) -> ModelBundle:
         label_keys=tuple(int(v) for v in z["label_keys"]),
         normalize=bool(z["normalize"]),
         has_variance=bool(z["has_variance"]),
+        cat_labels=cat_labels,
+        label_labels=label_labels,
     )

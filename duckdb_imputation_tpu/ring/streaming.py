@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Iterable, Iterator, NamedTuple
 
 import jax
@@ -125,17 +126,101 @@ class DirtyCache:
     cat_null: np.ndarray   # bool[c, nd]
 
 
-def scan_schema(chunk_source, *, collect_dirty: bool = True
-                ) -> tuple[StreamSchema, DirtyCache | None]:
+class DirtySpill:
+    """Disk-backed dirty-row store — the HIGH-missing fallback.
+
+    The in-RAM DirtyCache makes peak host memory O(chunk + dirty); at high
+    missing rates dirty is O(n) and the out-of-core claim silently
+    collapses. When the dirty count exceeds `dirty_budget_rows`, rows spill
+    to temp files instead and every consumer (delta aggregation, predict
+    write-back, output substitution) touches them through bounded windows:
+    peak memory becomes O(chunk + window + (P+K)²), independent of both n
+    AND the missing rate. Arrays are ROWS-FIRST on disk so appends are
+    contiguous; `window(lo, hi)` returns features-first copies; writes go
+    straight into the memmaps (the imputed values persist between rounds on
+    disk, which is where they must live — they don't fit RAM by premise)."""
+
+    def __init__(self, d: int, c: int, dir: str | None = None):
+        import tempfile
+        self._dir = tempfile.mkdtemp(prefix="dbi_spill_", dir=dir)
+        self.d, self.c = d, c
+        names = ("idx", "num", "cat", "num_null", "cat_null")
+        self._paths = {nm: os.path.join(self._dir, nm + ".bin")
+                       for nm in names}
+        self._handles = {nm: open(p, "wb") for nm, p in self._paths.items()}
+        self.n = 0
+        self._maps = None
+
+    def append(self, idx, num, cat, num_null, cat_null) -> None:
+        """Append a features-first dirty slice (written rows-first)."""
+        self._handles["idx"].write(
+            np.ascontiguousarray(idx, np.int64).tobytes())
+        self._handles["num"].write(
+            np.ascontiguousarray(num.T, np.float32).tobytes())
+        self._handles["cat"].write(
+            np.ascontiguousarray(cat.T, np.int64).tobytes())
+        self._handles["num_null"].write(
+            np.ascontiguousarray(num_null.T, bool).tobytes())
+        self._handles["cat_null"].write(
+            np.ascontiguousarray(cat_null.T, bool).tobytes())
+        self.n += len(idx)
+
+    def finalize(self) -> None:
+        for h in self._handles.values():
+            h.close()
+        self._handles = {}
+        n, d, c = max(self.n, 1), self.d, self.c
+
+        def mm(nm, dtype, shape):
+            return np.memmap(self._paths[nm], dtype=dtype, mode="r+",
+                             shape=shape) if self.n else \
+                np.zeros(shape, dtype)
+        self.idx = mm("idx", np.int64, (self.n,))
+        self.num = mm("num", np.float32, (self.n, d))
+        self.cat = mm("cat", np.int64, (self.n, c))
+        self.num_null = mm("num_null", bool, (self.n, d))
+        self.cat_null = mm("cat_null", bool, (self.n, c))
+
+    def window(self, lo: int, hi: int):
+        """Features-first copies of rows [lo, hi): (num f32[d, m],
+        cat i64[c, m], num_null bool[d, m], cat_null bool[c, m])."""
+        return (np.ascontiguousarray(self.num[lo:hi].T),
+                np.ascontiguousarray(self.cat[lo:hi].T),
+                np.ascontiguousarray(self.num_null[lo:hi].T),
+                np.ascontiguousarray(self.cat_null[lo:hi].T))
+
+    def write_num(self, col: int, lo: int, values, mask) -> None:
+        """Masked write-back of imputed numeric values into rows
+        [lo, lo+len(mask))."""
+        block = self.num[lo:lo + len(mask), col]
+        block[mask] = np.asarray(values, np.float32)[mask]
+
+    def write_cat(self, col: int, lo: int, raw_values, mask) -> None:
+        block = self.cat[lo:lo + len(mask), col]
+        block[mask] = np.asarray(raw_values, np.int64)[mask]
+
+    def cleanup(self) -> None:
+        import shutil
+        self._maps = None
+        shutil.rmtree(self._dir, ignore_errors=True)
+
+
+def scan_schema(chunk_source, *, collect_dirty: bool = True,
+                dirty_budget_rows: int | None = None, spill_dir=None
+                ) -> tuple[StreamSchema, "DirtyCache | DirtySpill | None"]:
     """Pass 0 (host-only): per-column vocab union over OBSERVED values
     (the streaming `build_list_of_uniq_categoricals`, partition.cpp:722-747),
-    nullable-column detection, and the dirty-row cache."""
+    nullable-column detection, and the dirty-row cache. When the dirty
+    count exceeds `dirty_budget_rows`, the cache converts to a disk-backed
+    DirtySpill (see its docstring) and host memory stays bounded."""
     vocabs: list[set] | None = None
     d_num = None
     n_rows = 0
     any_num_null = None
     any_cat_null = None
     dirty: list[tuple] = []
+    dirty_count = 0
+    spill: DirtySpill | None = None
     for raw in chunk_source():
         num, cat, num_null, cat_null = _normalize_chunk(raw)
         m = num.shape[-1] if num.shape[0] else cat.shape[-1]
@@ -153,8 +238,19 @@ def scan_schema(chunk_source, *, collect_dirty: bool = True
             rows = num_null.any(axis=0) | cat_null.any(axis=0)
             if rows.any():
                 (r,) = np.nonzero(rows)
-                dirty.append((r + n_rows, num[:, r], cat[:, r],
-                              num_null[:, r], cat_null[:, r]))
+                part = (r + n_rows, num[:, r], cat[:, r],
+                        num_null[:, r], cat_null[:, r])
+                dirty_count += len(r)
+                if (spill is None and dirty_budget_rows is not None
+                        and dirty_count > dirty_budget_rows):
+                    spill = DirtySpill(d_num, cat.shape[0], dir=spill_dir)
+                    for dpart in dirty:
+                        spill.append(*dpart)
+                    dirty = []
+                if spill is not None:
+                    spill.append(*part)
+                else:
+                    dirty.append(part)
         n_rows += m
     if vocabs is None:
         raise ValueError("empty stream")
@@ -168,7 +264,10 @@ def scan_schema(chunk_source, *, collect_dirty: bool = True
         n_rows=n_rows)
     cache = None
     if collect_dirty:
-        if dirty:
+        if spill is not None:
+            spill.finalize()
+            cache = spill
+        elif dirty:
             cache = DirtyCache(
                 idx=np.concatenate([d[0] for d in dirty]),
                 num=np.concatenate([d[1] for d in dirty], axis=1),
@@ -242,6 +341,9 @@ def scan_gram(chunk_source, ss: StreamSchema, *,
     row_shard = rep = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        # the sharded row axis must divide evenly across the data axis
+        d = mesh.shape["data"]
+        chunk_rows = -(-chunk_rows // d) * d
         row_shard = NamedSharding(mesh, P(None, "data"))
         w_shard = NamedSharding(mesh, P("data"))
         rep = NamedSharding(mesh, P())
@@ -251,6 +353,11 @@ def scan_gram(chunk_source, ss: StreamSchema, *,
     def fold(num, cat, num_null, cat_null, m):
         nonlocal gram
         w = (np.arange(chunk_rows) < m).astype(np.float32)
+        # zero the null cells host-side: _fold_chunk masks them anyway, and
+        # raw NaNs must not reach device_put — multihost shardings run a
+        # cross-process equality check where NaN != NaN rejects the chunk
+        if num.shape[0]:
+            num = np.where(num_null, 0.0, num)
         codes = (schema.encode(cat.T).T.astype(np.int32)
                  if schema.cat_cols else np.zeros((0, chunk_rows), np.int32))
         if row_shard is not None:
@@ -329,11 +436,16 @@ def assemble_filled_triple(gram: np.ndarray, ss: StreamSchema
 
 
 def aggregate_stream(chunk_source, *, chunk_rows: int = DEFAULT_STREAM_CHUNK,
-                     collect_dirty: bool = True, mesh=None):
+                     collect_dirty: bool = True, mesh=None,
+                     dirty_budget_rows: int | None = None, spill_dir=None):
     """Two-pass streaming aggregation: vocab/dirty scan, then one device
     pass (optionally row-sharded over a mesh's 'data' axis). Returns
-    (filled full Triple, StreamFills, StreamSchema, DirtyCache | None)."""
-    ss, cache = scan_schema(chunk_source, collect_dirty=collect_dirty)
+    (filled full Triple, StreamFills, StreamSchema,
+    DirtyCache | DirtySpill | None) — a DirtySpill when the dirty count
+    exceeded `dirty_budget_rows` (bounded-memory high-missing regime)."""
+    ss, cache = scan_schema(chunk_source, collect_dirty=collect_dirty,
+                            dirty_budget_rows=dirty_budget_rows,
+                            spill_dir=spill_dir)
     gram = scan_gram(chunk_source, ss, chunk_rows=chunk_rows, mesh=mesh)
     full, fills = assemble_filled_triple(gram, ss)
     return full, fills, ss, cache

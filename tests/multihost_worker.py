@@ -73,4 +73,145 @@ ref = np.asarray(masked_sigma(jnp.asarray(x_all), jnp.asarray(c_all),
                               jnp.asarray(w_all), schema=schema))
 np.testing.assert_allclose(sigma, ref, rtol=1e-5, atol=1e-4)
 
+# ---------------------------------------------------------------------------
+# END-TO-END MICE across the 2 processes (round-3 verdict #4: the full loop
+# had never crossed a process boundary). Every process knows the whole
+# (deterministic) table; each contributes its row shard to the global mesh,
+# runs the identical loop, and checks the result against a single-process
+# run on a process-LOCAL 1-device mesh.
+# ---------------------------------------------------------------------------
+from jax.experimental import multihost_utils as mhu  # noqa: E402
+from jax.sharding import Mesh, NamedSharding  # noqa: E402
+
+from duckdb_imputation_tpu.mice.partition import (build_partitions,  # noqa: E402
+                                                  init_fill)
+from duckdb_imputation_tpu.mice.sharded_round import (  # noqa: E402
+    mice_loop_sharded, mice_loop_sharded_delta)
+from duckdb_imputation_tpu.table import from_numpy  # noqa: E402
+
+n2 = 128
+ndev = len(jax.devices())
+rng2 = np.random.default_rng(1)
+z0 = rng2.normal(size=n2).astype(np.float32)
+z1 = rng2.normal(size=n2).astype(np.float32)
+num_all2 = np.stack([z0, 2 * z0 + z1,
+                     rng2.normal(size=n2).astype(np.float32)])
+cat_all2 = ((z0 > 0).astype(np.int32) * 3 + 4)[None, :]
+nn_all = np.zeros((3, n2), bool)
+cn_all = np.zeros((1, n2), bool)
+nn_all[1, rng2.random(n2) < 0.25] = True
+cn_all[0, rng2.random(n2) < 0.25] = True
+
+t0 = init_fill(from_numpy(num_all2, cat_all2, nn_all, cn_all,
+                          rows_first=False))
+schema2 = t0.schema
+x_f = np.asarray(t0.num_data)
+c_f = np.asarray(t0.cat_codes)
+valid_f = np.ones(n2, np.float32)
+
+per = n2 // nproc
+lo2 = proc_id * per
+
+
+def _glob(a, spec):
+    return mhu.host_local_array_to_global_array(
+        np.ascontiguousarray(a[..., lo2:lo2 + per]), mesh, spec)
+
+
+mice_kw = dict(schema=schema2, num_cols_to_impute=(1,),
+               cat_cols_to_impute=(0,), iters=2, gd_iters=200,
+               noise=False, trainer="solve", kernel="xla")
+xg2 = _glob(x_f, P(None, "data"))
+cg2 = _glob(c_f, P(None, "data"))
+x_out, c_out = mice_loop_sharded(
+    xg2, cg2, _glob(nn_all, P(None, "data")), _glob(cn_all, P(None, "data")),
+    mhu.host_local_array_to_global_array(valid_f[lo2:lo2 + per], mesh,
+                                         P("data")),
+    jax.random.PRNGKey(7), mesh=mesh, **mice_kw)
+x_loc = np.asarray(mhu.global_array_to_host_local_array(
+    x_out, mesh, P(None, "data")))
+c_loc = np.asarray(mhu.global_array_to_host_local_array(
+    c_out, mesh, P(None, "data")))
+
+# single-process ground truth on a process-local 1-device mesh
+lmesh = Mesh(np.asarray(jax.local_devices()[:1]), ("data",))
+
+
+def _lput(a, spec):
+    return jax.device_put(a, NamedSharding(lmesh, spec))
+
+
+x1, c1 = mice_loop_sharded(
+    _lput(x_f, P(None, "data")), _lput(c_f, P(None, "data")),
+    _lput(nn_all, P(None, "data")), _lput(cn_all, P(None, "data")),
+    _lput(valid_f, P("data")), jax.random.PRNGKey(7), mesh=lmesh, **mice_kw)
+np.testing.assert_allclose(x_loc, np.asarray(x1)[:, lo2:lo2 + per],
+                           rtol=2e-3, atol=2e-3)
+np.testing.assert_array_equal(c_loc, np.asarray(c1)[:, lo2:lo2 + per])
+
+# --- the sharded DELTA loop (imputation_low.cpp:42-110 strategy) ---
+parts = build_partitions(t0)
+m_rows = n2 // ndev
+
+
+def _shard_gathers(idx, nd):
+    idx = np.asarray(idx, np.int64)
+    per_s = [idx[(idx >= s * m_rows * (ndev // nd))
+                 & (idx < (s + 1) * m_rows * (ndev // nd))]
+             - s * m_rows * (ndev // nd) for s in range(nd)]
+    width = max(max((len(p) for p in per_s), default=0), 1)
+    width = 1 << (width - 1).bit_length()
+    out_i = np.zeros((nd, width), np.int64)
+    out_v = np.zeros((nd, width), np.float32)
+    for s, p2 in enumerate(per_s):
+        out_i[s, :len(p2)] = p2
+        out_v[s, :len(p2)] = 1.0
+    return out_i, out_v
+
+
+def _globg(a):
+    local = np.ascontiguousarray(a[proc_id * (ndev // nproc):
+                                   (proc_id + 1) * (ndev // nproc)])
+    return mhu.host_local_array_to_global_array(local, mesh, P("data", None))
+
+
+ngi, ngv = _shard_gathers(parts.num_dirty_idx[1], ndev)
+cgi, cgv = _shard_gathers(parts.cat_dirty_idx[0], ndev)
+xd, cd = mice_loop_sharded_delta(
+    xg2, cg2,
+    mhu.host_local_array_to_global_array(valid_f[lo2:lo2 + per], mesh,
+                                         P("data")),
+    jax.random.PRNGKey(7), ((_globg(ngi), _globg(ngv)),),
+    ((_globg(cgi), _globg(cgv)),), mesh=mesh, **mice_kw)
+xd_loc = np.asarray(mhu.global_array_to_host_local_array(
+    xd, mesh, P(None, "data")))
+
+ngi1, ngv1 = _shard_gathers(parts.num_dirty_idx[1], 1)
+cgi1, cgv1 = _shard_gathers(parts.cat_dirty_idx[0], 1)
+xd1, cd1 = mice_loop_sharded_delta(
+    _lput(x_f, P(None, "data")), _lput(c_f, P(None, "data")),
+    _lput(valid_f, P("data")), jax.random.PRNGKey(7),
+    ((_lput(ngi1, P("data", None)), _lput(ngv1, P("data", None))),),
+    ((_lput(cgi1, P("data", None)), _lput(cgv1, P("data", None))),),
+    mesh=lmesh, **mice_kw)
+np.testing.assert_allclose(xd_loc, np.asarray(xd1)[:, lo2:lo2 + per],
+                           rtol=2e-3, atol=2e-3)
+
+# --- the out-of-core streaming fold riding the cross-process mesh ---
+from duckdb_imputation_tpu.mice.streaming import run_mice_stream  # noqa: E402
+from duckdb_imputation_tpu.ring.streaming import chunks_from_arrays  # noqa: E402
+
+raw_num = num_all2.copy()
+raw_num[nn_all] = np.nan                    # nulls as NaN for the stream
+src = chunks_from_arrays(raw_num, cat_all2, nn_all, cn_all, chunk_rows=48)
+res_mesh = run_mice_stream(src, iters=2, noise=False, linreg_iters=200,
+                           chunk_rows=32, mesh=mesh)
+res_one = run_mice_stream(src, iters=2, noise=False, linreg_iters=200,
+                          chunk_rows=32)
+np.testing.assert_allclose(np.asarray(res_mesh.dirty.num_data),
+                           np.asarray(res_one.dirty.num_data),
+                           rtol=2e-3, atol=2e-3)
+np.testing.assert_array_equal(np.asarray(res_mesh.dirty.cat_codes),
+                              np.asarray(res_one.dirty.cat_codes))
+
 print(f"MULTIHOST_OK {proc_id}", flush=True)

@@ -39,7 +39,8 @@ def test_cli_impute_roundtrip(tmp_path):
     assert rmse < 0.2, rmse
 
 
-def _train_predict(tmp_path, model, label, train_csv, test_csv, extra=()):
+def _train_predict(tmp_path, model, label, train_csv, test_csv, extra=(),
+                   parse=float):
     bundle = tmp_path / f"{model}.npz"
     preds = tmp_path / f"{model}_pred.csv"
     code = (
@@ -56,7 +57,7 @@ def _train_predict(tmp_path, model, label, train_csv, test_csv, extra=()):
     import numpy as np
     lines = open(preds).read().strip().splitlines()
     assert lines[0] == f"{label}_pred"
-    return np.asarray([float(v) for v in lines[1:]])
+    return np.asarray([parse(v) for v in lines[1:]])
 
 
 def test_cli_train_predict_all_models(tmp_path):
@@ -91,3 +92,68 @@ def test_cli_train_predict_all_models(tmp_path):
         pred = _train_predict(tmp_path, model, "g", train, test)
         acc = (pred.astype(int) == g_te).mean()
         assert acc > 0.95, (model, acc)
+
+
+def test_cli_qda_with_cat_feature(tmp_path):
+    """QDA predict must encode non-label categorical features against the
+    DROP-FIRST vocab (qda_train hardwires drop_first, qda.cpp:47). With
+    full-vocab encoding every first-category cell shifts one category over
+    and the dominant-signal cat feature below would score near chance."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+
+    def write(path, n0):
+        idx = rng.integers(0, 3, size=n0)
+        g = (idx + 1) * 10
+        # cat feature: matches the class 90% of the time (noisy so the
+        # per-class one-hot covariance stays non-degenerate), {1,2,3}
+        h = np.where(rng.random(n0) < 0.9, idx + 1,
+                     rng.integers(1, 4, size=n0))
+        x = idx - 1 + rng.normal(size=n0)         # weakly informative
+        with open(path, "w") as f:
+            f.write("x,h,g\n")
+            for i in range(n0):
+                f.write(f"{x[i]:.6g},{h[i]},{g[i]}\n")
+        return g
+
+    train = tmp_path / "train.csv"
+    test = tmp_path / "test.csv"
+    write(train, 900)
+    g_te = write(test, 300)
+    pred = _train_predict(tmp_path, "qda", "g", train, test)
+    acc = (pred.astype(int) == g_te).mean()
+    # the cat feature alone gives ~0.9; with the encoding bug its signal is
+    # rotated one category over and accuracy craters to ~chance
+    assert acc > 0.85, acc
+
+
+def test_cli_string_categoricals_across_files(tmp_path):
+    """String-categorical columns: raw codes are per-FILE sorted-label
+    indices, so predict must remap the test file's labels through the
+    persisted TRAINING dictionary (the test file lacks one color, shifting
+    its local codes), and string label predictions must decode back to the
+    label strings."""
+    import numpy as np
+    rng = np.random.default_rng(12)
+    colors = ["apple", "banana", "cherry"]
+    cls_of = {"apple": "one", "banana": "three", "cherry": "two"}
+
+    def write(path, n0, allowed):
+        cs = [allowed[i] for i in rng.integers(0, len(allowed), size=n0)]
+        x = rng.normal(size=n0)
+        with open(path, "w") as f:
+            f.write("x,color,cls\n")
+            for i in range(n0):
+                f.write(f"{x[i]:.6g},{cs[i]},{cls_of[cs[i]]}\n")
+        return np.asarray([cls_of[c] for c in cs])
+
+    train = tmp_path / "train.csv"
+    test = tmp_path / "test.csv"
+    write(train, 600, colors)
+    want = write(test, 200, colors[1:])   # no 'apple' -> shifted local codes
+    pred = _train_predict(tmp_path, "nb", "cls", train, test, parse=str)
+    assert set(pred) <= {"one", "two", "three"}
+    assert (pred == want).mean() > 0.99
+
+    pred = _train_predict(tmp_path, "lda", "cls", train, test, parse=str)
+    assert (pred == want).mean() > 0.99

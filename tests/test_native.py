@@ -159,13 +159,14 @@ def test_cli_impute_string_csv(tmp_path):
     src = tmp_path / "in.csv"
     src.write_text("\n".join(lines) + "\n")
     out = tmp_path / "out.csv"
+    # --platform cpu: this host pins JAX_PLATFORMS=axon at the runtime
+    # level and ignores the env var, so the flag is the only way to keep
+    # the subprocess off the (high-RPC-latency) TPU tunnel
     r = subprocess.run(
-        [sys.executable, "-m", "duckdb_imputation_tpu.cli", "impute",
-         str(src), "--out", str(out), "--iters", "2", "--no-noise",
-         "--linreg-iters", "200"],
-        capture_output=True, text=True, timeout=500,
-        env={**__import__('os').environ,
-             "JAX_PLATFORMS": "cpu"})
+        [sys.executable, "-m", "duckdb_imputation_tpu.cli", "--platform",
+         "cpu", "impute", str(src), "--out", str(out), "--iters", "2",
+         "--no-noise", "--linreg-iters", "200"],
+        capture_output=True, text=True, timeout=500)
     assert r.returncode == 0, r.stderr[-2000:]
     rows = out.read_text().strip().split("\n")[1:]
     got = np.array([ln.split(",")[1] for ln in rows], object)

@@ -106,6 +106,46 @@ def test_stream_impute_chunks_substitutes_only_nulls():
     np.testing.assert_array_equal(out_cat[~cat_null], cat[~cat_null])
 
 
+def test_stream_spill_matches_incore_at_high_missing():
+    """50% missing rate with a dirty budget far below the dirty count: the
+    cache spills to disk, the rounds run windowed, and the result matches
+    the unbounded in-core streaming path (ring sums make the windowed delta
+    algebra exact up to f32 fold order). Also pins the memory contract: the
+    spill store is memmap-backed, not ndarray-resident."""
+    num_in, cat_in, num, cat, num_null, cat_null = _make_data(
+        seed=9, n=3000, miss=0.5)
+    src = chunks_from_arrays(num_in, cat_in, chunk_rows=640)
+    budget = 256
+    res_sp = run_mice_stream(src, iters=2, noise=False, chunk_rows=512,
+                             dirty_budget_rows=budget)
+    assert res_sp.spill is not None and res_sp.dirty is None
+    assert res_sp.spill.n > budget        # really exceeded the cap
+    assert isinstance(res_sp.spill.num, np.memmap)
+
+    res_in = run_mice_stream(src, iters=2, noise=False, chunk_rows=512)
+    idx = res_in.idx
+    np.testing.assert_array_equal(np.asarray(res_sp.idx), idx)
+    num_sp, cat_sp = res_sp._dirty_slice(0, res_sp.spill.n)
+    num_ic = np.asarray(res_in.dirty.num_data)
+    cat_ic = res_in.dirty.cat_values()
+    for j in range(num.shape[0]):
+        m = num_null[j, idx]
+        scale = np.abs(num_ic[j]).max() + 1
+        np.testing.assert_allclose(num_sp[j][m], num_ic[j][m],
+                                   atol=5e-3 * scale)
+    for j in range(cat.shape[0]):
+        m = cat_null[j, idx]
+        agree = (cat_sp[j][m] == cat_ic[j][m]).mean() if m.any() else 1.0
+        assert agree > 0.98, agree
+
+    # the write-out path reads from the spill
+    out = list(res_sp.impute_chunks(src))
+    out_num = np.concatenate([a for a, _ in out], axis=1)
+    assert not np.isnan(out_num).any()
+    np.testing.assert_array_equal(out_num[~num_null], num[~num_null])
+    res_sp.spill.cleanup()
+
+
 def test_stream_all_observed_is_noop():
     rng = np.random.default_rng(5)
     num = rng.normal(size=(2, 300)).astype(np.float32)

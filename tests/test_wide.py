@@ -106,6 +106,146 @@ def test_wide_mice_column_step(mesh2d):
     np.testing.assert_array_equal(np.asarray(out[1])[~null], num[1][~null])
 
 
+def test_lda_wide_matches_dense(mesh2d):
+    """Sharded-operator LDA == the dense trainer (models.lda_train →
+    LDAParams) at narrow V: same pooled covariance, shrinkage, class sums
+    and intercepts, solved by CG on the distributed matvec instead of a
+    materialized m×m lstsq."""
+    from duckdb_imputation_tpu.models.lda import LDAParams, lda_train
+    from duckdb_imputation_tpu.parallel.wide import lda_solve_wide
+    from duckdb_imputation_tpu.ring.sum import sum_to_triple
+
+    rng = np.random.default_rng(21)
+    n = 4096
+    cls = rng.integers(0, 3, size=n)
+    num = np.stack([cls - 1.0 + 0.4 * rng.normal(size=n),
+                    rng.normal(size=n)]).astype(np.float32)
+    codes = np.stack([cls,
+                      rng.integers(0, 13, size=n)]).astype(np.int32)
+    w = (rng.random(n) > 0.25).astype(np.float32)
+    schema = FeatureSchema(num_cols=2,
+                           cat_keys=(tuple(range(3)), tuple(range(13))))
+    label, shrink = 0, 1e-3
+    p, d = schema.sigma_size, schema.num_cols
+
+    triple = sum_to_triple(num, codes, w, schema=schema)
+    params = LDAParams.decode(
+        np.asarray(lda_train(triple, schema, label=label,
+                             shrinkage=shrink)),
+        num_cols=d, normalize=False)
+
+    sig_cols = sigma_wide(num, codes, w, schema=schema, mesh=mesh2d)
+    wv, icpt = lda_solve_wide(sig_cols, mesh=mesh2d, schema=schema,
+                              label=label, shrinkage=shrink, iters=3000,
+                              tol=1e-10)
+    wv, icpt = np.asarray(wv), np.asarray(icpt)
+
+    offs = schema.offsets
+    lab_lo = 1 + d + offs[label]
+    active = [i for i in range(1, p)
+              if not (lab_lo <= i < lab_lo + 3)]
+    # dense coef rows are [num cols..., kept vocab slots...] — exactly the
+    # ascending active sigma indices
+    np.testing.assert_allclose(wv[active], params.coef, rtol=2e-3,
+                               atol=2e-3)
+    np.testing.assert_allclose(icpt, params.intercept, rtol=2e-3,
+                               atol=2e-3)
+    # label-block and intercept rows never contribute
+    assert np.all(wv[0] == 0) and np.all(wv[lab_lo:lab_lo + 3] == 0)
+
+
+def test_run_mice_wide_matches_dense(mesh2d):
+    """Mixed-table wide-V MICE == a dense twin of the identical schedule
+    (mean/mode init, LDA cat step via models.lda, ridge num step via a
+    dense solve) at narrow V: codes equal, numerics close."""
+    from duckdb_imputation_tpu.models.lda import lda_train, lda_predict
+    from duckdb_imputation_tpu.parallel.wide import run_mice_wide
+    from duckdb_imputation_tpu.ring.sum import (_zt_block, masked_sigma,
+                                                sum_to_triple)
+
+    rng = np.random.default_rng(33)
+    n = 4096
+    cls = rng.integers(0, 3, size=n)
+    z = rng.normal(size=n)
+    num = np.stack([cls - 1.0 + 0.3 * z,
+                    0.7 * (cls - 1.0) + 0.2 * rng.normal(size=n)]
+                   ).astype(np.float32)
+    codes = np.stack([cls, rng.integers(0, 11, size=n)]).astype(np.int32)
+    schema = FeatureSchema(num_cols=2,
+                           cat_keys=(tuple(range(3)), tuple(range(11))))
+    num_null = np.zeros((2, n), bool)
+    cat_null = np.zeros((2, n), bool)
+    num_null[1, rng.random(n) < 0.2] = True
+    cat_null[0, rng.random(n) < 0.2] = True
+    ridge, shrink, iters = 1e-3, 1e-3, 2
+
+    xw, cw = run_mice_wide(num, codes, num_null, cat_null, schema=schema,
+                           mesh=mesh2d, iters=iters, ridge=ridge,
+                           shrinkage=shrink, cg_iters=4000, tol=1e-11)
+    xw, cw = np.asarray(xw), np.asarray(cw)
+
+    # ---- dense twin of the same schedule ----
+    x = num.copy()
+    c = codes.copy()
+    obs = ~num_null[1]
+    x[1] = np.where(num_null[1], x[1][obs].mean(), x[1])
+    hist = np.bincount(c[0][~cat_null[0]], minlength=3)
+    c[0] = np.where(cat_null[0], np.argmax(hist), c[0])
+    p = schema.sigma_size
+    for _ in range(iters):
+        w = (~cat_null[0]).astype(np.float32)
+        triple = sum_to_triple(x, c, w, schema=schema)
+        params = lda_train(triple, schema, label=0, shrinkage=shrink)
+        idx = np.asarray(lda_predict(np.asarray(params), x, c[1:2]))
+        c[0] = np.where(cat_null[0], idx, c[0])
+
+        w = (~num_null[1]).astype(np.float32)
+        sigma = np.asarray(masked_sigma(x, c, w, schema=schema), np.float64)
+        lab = 1 + 1
+        keep = [i for i in range(p) if i != lab]
+        nr = max(sigma[0, 0], 1.0)
+        dd = np.ones(p - 1)
+        dd[0] = 0.0
+        a = sigma[np.ix_(keep, keep)] / nr + ridge * np.diag(dd)
+        b = sigma[keep, lab] / nr
+        th = np.linalg.solve(a, b)
+        coeff = np.zeros(p, np.float32)
+        coeff[keep] = th
+        zt = np.asarray(_zt_block(jnp.asarray(x), jnp.asarray(c), schema))
+        preds = coeff @ zt
+        x[1] = np.where(num_null[1], preds, x[1])
+
+    np.testing.assert_array_equal(cw, c)
+    np.testing.assert_allclose(xw, x, rtol=5e-3, atol=5e-3)
+
+
+def test_wide_mice_cat_step_4k(mesh2d):
+    """Categorical wide-V step at P=4099 (label C=3 + a 4093-wide nuisance
+    vocab): sharded LDA recovers the class of the masked rows from the
+    numeric signal; sigma never materializes beyond P×(P_pad/M) per
+    device."""
+    from duckdb_imputation_tpu.parallel.wide import mice_cat_step_wide
+
+    rng = np.random.default_rng(17)
+    n, vbig = 2048, 4093
+    cls = rng.integers(0, 3, size=n)
+    num = np.stack([cls * 2.0 + 0.3 * rng.normal(size=n),
+                    rng.normal(size=n)]).astype(np.float32)
+    codes = np.stack([cls, rng.integers(0, vbig, size=n)]).astype(np.int32)
+    schema = FeatureSchema(num_cols=2,
+                           cat_keys=(tuple(range(3)), tuple(range(vbig))))
+    null = rng.random(n) < 0.2
+    corrupted = codes.copy()
+    corrupted[0] = np.where(null, (cls + 1) % 3, cls)   # wrong where null
+
+    out = mice_cat_step_wide(jnp.asarray(num), jnp.asarray(corrupted),
+                             jnp.asarray(null), schema=schema, mesh=mesh2d,
+                             label=0, shrinkage=1e-3, iters=800, tol=1e-8)
+    got = np.asarray(out[0])
+    assert (got[null] == cls[null]).mean() > 0.95
+    np.testing.assert_array_equal(got[~null], cls[~null])
+
+
 def test_predict_wide_matches_host(mesh2d):
     """Row-sharded prediction == dense θᵀZ on the host."""
     from duckdb_imputation_tpu.ring.sum import _zt_block
