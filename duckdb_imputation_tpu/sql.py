@@ -249,6 +249,9 @@ class _Parser:
         self.expect_kw("insert")
         self.expect_kw("into")
         name = self.ident()
+        if self.at_kw("select"):
+            # INSERT INTO t SELECT … — append a query result
+            return ("insert_select", name, self.select())
         self.expect_kw("values")
         rows = []
         while True:
@@ -340,7 +343,14 @@ class _Parser:
                     desc = True
                 else:
                     self.eat_kw("asc")
-                order_by.append((e, desc))
+                nulls_first = None       # None = dialect default (LAST)
+                if self.eat_kw("nulls"):
+                    if self.eat_kw("first"):
+                        nulls_first = True
+                    else:
+                        self.expect_kw("last")
+                        nulls_first = False
+                order_by.append((e, desc, nulls_first))
                 if not self.eat_op(","):
                     break
         if self.eat_kw("limit"):
@@ -803,6 +813,8 @@ class Connection:
             self._result, self._columns = [], []
         elif kind == "insert":
             self._run_insert(stmt)
+        elif kind == "insert_select":
+            self._run_insert_select(stmt)
         elif kind == "drop":
             _, name, if_exists = stmt
             if name in self.tables:
@@ -884,6 +896,35 @@ class Connection:
                 np.concatenate([col.data, add]),
                 np.concatenate([col.null, np.asarray(nulls, bool)]),
                 col.kind))
+        self.tables[name] = Relation(list(rel.names), new_cols)
+        self._result, self._columns = [], []
+
+    def _run_insert_select(self, stmt):
+        """`INSERT INTO t SELECT …` — append the query result, coerced
+        column-by-position to the target's kinds (numeric widens/narrows
+        through float; int sources feed float targets and vice versa with
+        truncation, DuckDB's implicit cast)."""
+        _, name, sel = stmt
+        if name not in self.tables:
+            raise SQLError(f"no such table {name}")
+        rel = self.tables[name]
+        src = self._run_select(sel)
+        if len(src.cols) != len(rel.cols):
+            raise SQLError("INSERT arity mismatch")
+        new_cols = []
+        for col, add in zip(rel.cols, src.cols):
+            data = add.data
+            if col.kind == "f":
+                data = data.astype(np.float32)
+            elif col.kind == "i":
+                data = data.astype(np.int64)
+            elif col.kind == "b":
+                data = data.astype(bool)
+            elif col.kind != add.kind:
+                data = data.astype(object)
+            new_cols.append(Column(
+                np.concatenate([col.data, data]),
+                np.concatenate([col.null, add.null]), col.kind))
         self.tables[name] = Relation(list(rel.names), new_cols)
         self._result, self._columns = [], []
 
@@ -1017,7 +1058,7 @@ class Connection:
         if has_agg or group_by:
             # ORDER BY keys not in the select list ride along as hidden
             # items evaluated per group, then get dropped after the sort
-            hidden = [(e, f"__order{i}") for i, (e, _) in enumerate(order_by)
+            hidden = [(e, f"__order{i}") for i, (e, *_) in enumerate(order_by)
                       if not any(e == se for se, _ in items)]
             out = self._run_aggregate(items + hidden, rel, group_by, having)
             n_vis = len(items)
@@ -1033,7 +1074,7 @@ class Connection:
             hidden = []
             n_vis = len(out.cols)
             if order_by:
-                for i, (e, _) in enumerate(order_by):
+                for i, (e, *_) in enumerate(order_by):
                     if not _refs_resolve(e, out):
                         out.add(f"__order{i}", self._eval(e, rel))
                         hidden.append((e, f"__order{i}"))
@@ -1048,7 +1089,7 @@ class Connection:
             out = out.take(np.asarray(keep, np.int64))
         if order_by:
             keys = []
-            for e, desc in reversed(order_by):
+            for e, desc, nulls_first in reversed(order_by):
                 hid = next((nm for he, nm in hidden if he == e), None)
                 col = (out.get(hid) if hid is not None
                        else self._eval(e, out))
@@ -1067,7 +1108,7 @@ class Connection:
                 # sort after every value (an INTEGER column's null slots
                 # hold 0 in data and would otherwise sort as 0)
                 keys.append(k)
-                keys.append(col.null)
+                keys.append(~col.null if nulls_first else col.null)
             idx = np.lexsort(keys)
             out = out.take(idx)
         if hidden:

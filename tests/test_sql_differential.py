@@ -43,7 +43,9 @@ def _gen_rows_t1(rng, n=45):
         b = None if rng.random() < 0.15 else rng.randrange(-128, 385) / 64
         c = None if rng.random() < 0.2 else rng.randrange(5)
         d = rng.randrange(3)
-        rows.append((i, a, b, c, d))
+        s = None if rng.random() < 0.15 else rng.choice(
+            ["ap", "bq", "cr", "dz"])
+        rows.append((i, a, b, c, d, s))
     return rows
 
 
@@ -67,7 +69,7 @@ def _make_engines(seed):
 
     con = sql.connect()
     con.execute("CREATE TABLE t1(id INTEGER, a FLOAT, b FLOAT, "
-                "c INTEGER, d INTEGER)")
+                "c INTEGER, d INTEGER, s VARCHAR)")
     con.execute("INSERT INTO t1 VALUES " + ", ".join(
         "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows1))
     con.execute("CREATE TABLE t2(k INTEGER, v FLOAT, w INTEGER)")
@@ -76,8 +78,8 @@ def _make_engines(seed):
 
     lite = sqlite3.connect(":memory:")
     lite.execute("CREATE TABLE t1(id INTEGER, a REAL, b REAL, "
-                 "c INTEGER, d INTEGER)")
-    lite.executemany("INSERT INTO t1 VALUES (?,?,?,?,?)", rows1)
+                 "c INTEGER, d INTEGER, s TEXT)")
+    lite.executemany("INSERT INTO t1 VALUES (?,?,?,?,?,?)", rows1)
     lite.execute("CREATE TABLE t2(k INTEGER, v REAL, w INTEGER)")
     lite.executemany("INSERT INTO t2 VALUES (?,?,?)", rows2)
     return con, lite, rng
@@ -120,9 +122,30 @@ def _num_expr(rng, cols, depth):
             f"{_num_expr(rng, cols, depth - 1)})")
 
 
-def _bool_expr(rng, cols, depth):
+_STR_LITS = ["'ap'", "'bq'", "'cr'", "'dz'", "'zz'"]  # 'zz' never occurs
+
+
+def _str_pred(rng, scol):
+    """String-keyed predicate leaf (equality/IN/IS NULL only — inequality
+    would drag in collation differences)."""
+    r = rng.random()
+    if r < 0.4:
+        op = rng.choice(["=", "<>"])
+        return f"({scol} {op} {rng.choice(_STR_LITS)})"
+    if r < 0.7:
+        neg = "NOT " if rng.random() < 0.4 else ""
+        items = ", ".join(rng.choice(_STR_LITS)
+                          for _ in range(rng.randrange(1, 4)))
+        return f"({scol} {neg}IN ({items}))"
+    neg = "NOT " if rng.random() < 0.5 else ""
+    return f"({scol} IS {neg}NULL)"
+
+
+def _bool_expr(rng, cols, depth, scol=None):
     if depth <= 0 or rng.random() < 0.4:
         r = rng.random()
+        if scol is not None and rng.random() < 0.15:
+            return _str_pred(rng, scol)
         if r < 0.6:
             op = rng.choice(["=", "<>", "<", "<=", ">", ">="])
             return (f"({_num_expr(rng, cols, 1)} {op} "
@@ -147,12 +170,12 @@ def _bool_expr(rng, cols, depth):
         return f"({rng.choice(cols)} IS {neg}NULL)"
     kind = rng.randrange(3)
     if kind == 0:
-        return (f"({_bool_expr(rng, cols, depth - 1)} AND "
-                f"{_bool_expr(rng, cols, depth - 1)})")
+        return (f"({_bool_expr(rng, cols, depth - 1, scol)} AND "
+                f"{_bool_expr(rng, cols, depth - 1, scol)})")
     if kind == 1:
-        return (f"({_bool_expr(rng, cols, depth - 1)} OR "
-                f"{_bool_expr(rng, cols, depth - 1)})")
-    return f"(NOT {_bool_expr(rng, cols, depth - 1)})"
+        return (f"({_bool_expr(rng, cols, depth - 1, scol)} OR "
+                f"{_bool_expr(rng, cols, depth - 1, scol)})")
+    return f"(NOT {_bool_expr(rng, cols, depth - 1, scol)})"
 
 
 def _agg_expr(rng, cols):
@@ -209,24 +232,26 @@ def _make_query(rng):
         distinct = "DISTINCT " if shape == 3 else ""
         items = ", ".join(_num_expr(rng, T1_NUM, 3)
                           for _ in range(rng.randrange(1, 4)))
+        if rng.random() < 0.25:       # string column rides along
+            items = "s, " + items
         q = f"SELECT {distinct}{items} FROM t1"
         if rng.random() < 0.7:
-            q += f" WHERE {_bool_expr(rng, T1_NUM, 3)}"
+            q += f" WHERE {_bool_expr(rng, T1_NUM, 3, scol='s')}"
         return q
     if shape < 6:                     # whole-table aggregates [+ WHERE]
         items = ", ".join(["COUNT(*)"] + [_agg_expr(rng, T1_NUM)
                                           for _ in range(2)])
         q = f"SELECT {items} FROM t1"
         if rng.random() < 0.7:
-            q += f" WHERE {_bool_expr(rng, T1_NUM, 2)}"
+            q += f" WHERE {_bool_expr(rng, T1_NUM, 2, scol='s')}"
         return q
     if shape < 9:                     # GROUP BY [+ WHERE] [+ HAVING]
-        key = rng.choice(["c", "d"])
+        key = rng.choice(["c", "d", "s", "s"])  # string-keyed half the time
         items = ", ".join([key, "COUNT(*)"]
                           + [_agg_expr(rng, T1_NUM) for _ in range(2)])
         q = f"SELECT {items} FROM t1"
         if rng.random() < 0.6:
-            q += f" WHERE {_bool_expr(rng, T1_NUM, 2)}"
+            q += f" WHERE {_bool_expr(rng, T1_NUM, 2, scol='s')}"
         q += f" GROUP BY {key}"
         if rng.random() < 0.5:
             q += f" HAVING {_having(rng, T1_NUM)}"
@@ -237,7 +262,7 @@ def _make_query(rng):
                           for _ in range(rng.randrange(1, 3)))
         q = f"SELECT {items} FROM t1 JOIN t2 ON t1.d = t2.w"
         if rng.random() < 0.6:
-            q += f" WHERE {_bool_expr(rng, cols, 2)}"
+            q += f" WHERE {_bool_expr(rng, cols, 2, scol='t1.s')}"
         return q
     if shape < 13:                    # derived-table FROM (subquery)
         inner_items = ", ".join(
@@ -270,7 +295,7 @@ def _make_query(rng):
 # ---------------------------------------------------------------------------
 
 def _norm(v):
-    """None stays None; bools → ints; every number → float."""
+    """None stays None; strings stay; bools → ints; every number → float."""
     if v is None:
         return None
     if isinstance(v, bool):
@@ -279,11 +304,15 @@ def _norm(v):
         v = v.item()
     if isinstance(v, bool):
         return float(int(v))
+    if isinstance(v, str):
+        return v
     return float(v)
 
 
 def _sort_key(row):
-    return tuple((v is not None, v if v is not None else 0.0) for v in row)
+    # str() keys: only used to pre-sort both sides before the greedy
+    # tolerant matching, which scans the full remaining list anyway
+    return tuple((v is not None, str(v)) for v in row)
 
 
 def _row_close(rg, rw):
@@ -292,8 +321,12 @@ def _row_close(rg, rw):
     for vg, vw in zip(rg, rw):
         if (vg is None) != (vw is None):
             return False
-        if vg is not None and not math.isclose(vg, vw, rel_tol=1e-4,
-                                               abs_tol=1e-4):
+        if vg is None:
+            continue
+        if isinstance(vg, str) or isinstance(vw, str):
+            if vg != vw:
+                return False
+        elif not math.isclose(vg, vw, rel_tol=1e-4, abs_tol=1e-4):
             return False
     return True
 
@@ -329,7 +362,32 @@ def _make_mutation(rng, next_id):
     INTEGER column while this engine rounds). DELETEs target ids and are
     paired with fresh-id INSERTs so the table never drains and the id
     column stays unique (shape-14 ORDER BY id relies on that)."""
-    kind = rng.randrange(4)
+    kind = rng.randrange(7)
+    if kind == 6:                     # INSERT INTO … SELECT (self-append)
+        # offset keeps ids unique: every existing id < next_id
+        return ([f"INSERT INTO t1 SELECT id + {next_id}, a, b, c, d, s "
+                 f"FROM t1 WHERE {_bool_expr(rng, T1_NUM, 2, scol='s')}"],
+                next_id * 2)
+    if kind == 4:                     # UPDATE the string col
+        val = rng.choice(_STR_LITS + ["NULL", "s"])
+        return ([f"UPDATE t1 SET s = {val} "
+                 f"WHERE {_bool_expr(rng, T1_NUM, 2, scol='s')}"], next_id)
+    if kind == 5:                     # subquery shapes in SET/WHERE
+        r = rng.random()
+        if r < 0.5:
+            # SET from a scalar subquery — MIN/MAX/COUNT stay dyadic-exact
+            # (AVG would write f64-only values; see docstring)
+            fn = rng.choice(["MIN", "MAX", "COUNT"])
+            return ([f"UPDATE t1 SET a = (SELECT {fn}(v) FROM t2) "
+                     f"WHERE {_bool_expr(rng, T1_NUM, 2)}"], next_id)
+        # WHERE with an IN-subquery / scalar-subquery compare (read-only
+        # use of AVG is fine: both engines see identical dyadic inputs)
+        w = rng.choice([
+            "c IN (SELECT w FROM t2 WHERE v IS NOT NULL)",
+            "a > (SELECT AVG(v) FROM t2)",
+            "d NOT IN (SELECT w FROM t2 WHERE v > 0)"])
+        col = rng.choice(["a", "b"])
+        return ([f"UPDATE t1 SET {col} = {col} + 1 WHERE {w}"], next_id)
     if kind == 0:                     # UPDATE float col
         col = rng.choice(["a", "b"])
         r = rng.random()
