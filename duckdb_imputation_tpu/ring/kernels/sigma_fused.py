@@ -1,0 +1,249 @@
+"""Fused impute+aggregate Pallas kernel — one pass per MICE column step.
+
+The fused MICE round (mice/device_round.py) spends its time in full-table
+passes: per column, one aggregation pass (the v2 split-precision Gram,
+sigma_pallas.py) plus one predict/write-back pass (class_argmax /
+linear_predict) — 4 passes per round at 2 null columns. But the predict
+pass reads exactly the columns the NEXT column's aggregation re-reads, and
+the aggregation kernel already builds the full packed Z block in VMEM. So
+this kernel does both at once, per chunk:
+
+  1. build the packed split-precision Z block (unweighted; for binary
+     weights the v2 algebra is unchanged: w·bf16(Z) = bf16(w·Z) and the
+     residual rows satisfy w·E = wZ − w·bf16(Z), so weighting the
+     bf16-cast block by w afterwards reproduces sigma_pallas_fast2's Gram
+     EXACTLY — same f32-accumulation-error class);
+  2. score the PREVIOUS column's model against Z via one skinny MXU dot —
+     the coefficient matrix rides in as a [2L, width] operand split
+     hi/lo in bf16 (lo = W − bf16(W)), and the numeric coefficients are
+     duplicated onto the residual rows, so scores ≈ f32 W·Z to ~1e-7
+     relative (split × split) instead of bf16's ~4e-3;
+  3. impute: argmax over class rows (categorical, LDA index convention,
+     lda.cpp:575) or the direct prediction row (numeric), select under the
+     column's null mask, write the new column chunk out;
+  4. substitute the imputed section of Z (the one-hot rows of a cat column
+     / the numeric + residual rows of a num column), weight by the NEXT
+     column's observed mask, and accumulate the Gram.
+
+Steady-state cost per round: 2 fused passes instead of 4, and the scoring
+dot adds only 64·L MACs/row to the Gram's 128²/pack — measured ~1.7× on
+the 100M-row MICE round (BENCH.md).
+
+Reference flow being fused: the per-column aggregate→train→predict→
+write-back cycle of run_MICE_baseline (imputation_base.cpp:21-142).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...schema import FeatureSchema
+from .sigma_pallas import LANES, _fast2_epilogue, _round_up, _sizing_fast2
+
+
+def _phys_map(schema: FeatureSchema):
+    """Static sigma-index → segment-local physical row map T f32[P, p_seg]
+    (the lhs scatter matrix): T[i, phys(i)] = 1, plus the numeric rows
+    (and the ones row, whose residual is identically 0) duplicated onto
+    the residual section so coefficients also multiply the E rows."""
+    t_pad, vpads, seg_e, p_seg, pack, width = _sizing_fast2(schema)
+    d = schema.num_cols
+    p = schema.sigma_size
+    t = np.zeros((p, p_seg), np.float32)
+    for i in range(1 + d):
+        t[i, i] = 1.0
+    row = t_pad
+    off = 1 + d
+    for j, size in enumerate(schema.cat_sizes):
+        for k in range(size):
+            t[off + k, row + k] = 1.0
+        off += size
+        row += vpads[j]
+    if seg_e:
+        zoff = t_pad + sum(vpads)
+        for i in range(1 + d):
+            t[i, zoff + i] += 1.0
+    return t
+
+
+def pack_lhs(w_full, intercept, *, schema: FeatureSchema,
+             n_rows: int) -> jax.Array:
+    """Build the [2·L_pad, width] bf16 hi/lo-split scoring operand.
+
+    w_full: f32[P, R] coefficients in sigma-index space (R = n_classes for
+    LDA, 1 for linreg; w_full[0] may carry the intercept's ones-row slot);
+    intercept: f32[R] added on the ones row (z's ones row is 1 for every
+    column, including pad columns). n_rows = R."""
+    t_pad, vpads, seg_e, p_seg, pack, width = _sizing_fast2(schema)
+    tmat = jnp.asarray(_phys_map(schema))
+    # clamp -inf intercepts (empty LDA classes) to a dominating finite
+    # value: inf in the bf16 MXU operand risks 0·inf NaNs on pad rows
+    icpt = jnp.maximum(jnp.asarray(intercept, jnp.float32), -1e30)
+    seg = jnp.asarray(w_full, jnp.float32).T @ tmat        # [R, p_seg]
+    seg = seg.at[:, 0].add(icpt)
+    l_pad = _round_up(pack * n_rows, 8)
+    lhs = jnp.zeros((l_pad, width), jnp.float32)
+    for k in range(pack):
+        lhs = jax.lax.dynamic_update_slice(
+            lhs, seg, (k * n_rows, k * p_seg))
+    hi = lhs.astype(jnp.bfloat16)
+    lo = (lhs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=0)               # [2·l_pad, width]
+
+
+def _fused_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
+                  n_rows: int, t_pad: int, vpads: tuple[int, ...],
+                  seg_e: int, p_seg: int, pack: int, chunk: int,
+                  width: int):
+    """refs = (x_0..x_{d-1}, code_0..code_{c-1}, null_imp, w_agg, lhs,
+    out_col, out_gram). kind: 'cat' | 'num'."""
+    d, c = schema.num_cols, schema.cat_cols
+    x_refs = refs[:d]
+    c_refs = refs[d:d + c]
+    null_ref = refs[d + c]
+    w_ref = refs[d + c + 1]
+    lhs_ref = refs[d + c + 2]
+    col_ref = refs[d + c + 3]
+    gram_ref = refs[d + c + 4]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        gram_ref[:] = jnp.zeros_like(gram_ref)
+
+    sizes = schema.cat_sizes
+    qt = jax.lax.broadcasted_iota(jnp.int32, (t_pad, 1), 0)
+    l_pad = lhs_ref.shape[0] // 2
+
+    # ---- build UNWEIGHTED packed Z (f32 pieces per segment) ----
+    pieces = []          # per segment: [top, onehot_0.., (resid)]
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        top = jnp.broadcast_to((qt == 0).astype(jnp.float32),
+                               (t_pad, chunk))
+        for j in range(d):
+            top = top + (qt == 1 + j).astype(jnp.float32) \
+                * x_refs[j][0, sl][None, :]
+        seg = [top]
+        for j, size in enumerate(sizes):
+            cj = c_refs[j][0, sl][None, :]
+            cadj = jnp.where(cj < size, cj, -1)
+            qj = jax.lax.broadcasted_iota(jnp.int32, (vpads[j], 1), 0)
+            seg.append((qj == cadj).astype(jnp.float32))
+        if seg_e:
+            seg.append(top - top.astype(jnp.bfloat16).astype(jnp.float32))
+        pieces.append(seg)
+    flat = [p for seg in pieces for p in seg]
+    if pack * p_seg < width:
+        flat.append(jnp.zeros((width - pack * p_seg, chunk), jnp.float32))
+    zb = jnp.concatenate(flat, axis=0).astype(jnp.bfloat16)
+
+    # ---- score the previous column's model: one skinny dot ----
+    raw = jax.lax.dot_general(
+        lhs_ref[:, :], zb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [2·l_pad, chunk]
+    s = raw[:l_pad] + raw[l_pad:]
+
+    # ---- impute + substitute the imputed section ----
+    n_cat_sections = len(sizes)
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        nullm = null_ref[0, sl][None, :] > 0.0
+        if kind == "cat":
+            base = k * n_rows
+            best = s[base][None, :]
+            idx = jnp.zeros((1, chunk), jnp.int32)
+            for cc in range(1, n_rows):
+                row = s[base + cc][None, :]
+                m = row > best
+                idx = jnp.where(m, cc, idx)
+                best = jnp.where(m, row, best)
+            old = c_refs[imp_col][0, sl][None, :]
+            new = jnp.where(nullm, idx, old)
+            col_ref[0, sl] = new[0]
+            size = sizes[imp_col]
+            cadj = jnp.where(new < size, new, -1)
+            qj = jax.lax.broadcasted_iota(jnp.int32,
+                                          (vpads[imp_col], 1), 0)
+            pieces[k][1 + imp_col] = (qj == cadj).astype(jnp.float32)
+        else:
+            pred = s[k * n_rows][None, :]
+            old = x_refs[imp_col][0, sl][None, :]
+            new = jnp.where(nullm, pred, old)
+            col_ref[0, sl] = new[0]
+            top = pieces[k][0] + (qt == 1 + imp_col).astype(jnp.float32) \
+                * (new - old)
+            pieces[k][0] = top
+            if seg_e:
+                pieces[k][1 + n_cat_sections] = \
+                    top - top.astype(jnp.bfloat16).astype(jnp.float32)
+
+    # ---- weighted Gram for the NEXT column's sigma ----
+    segs = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        wrow = w_ref[0, sl][None, :]
+        segs.extend(p * wrow for p in pieces[k])
+    if pack * p_seg < width:
+        segs.append(jnp.zeros((width - pack * p_seg, chunk), jnp.float32))
+    arr = jnp.concatenate(segs, axis=0).astype(jnp.bfloat16)
+    gram_ref[:] += jax.lax.dot_general(
+        arr, arr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "kind", "imp_col",
+                                             "n_rows", "chunk_cols"))
+def fused_impute_aggregate(x_cols, code_cols, null_imp, w_agg, lhs, *,
+                           schema: FeatureSchema, kind: str, imp_col: int,
+                           n_rows: int, chunk_cols: int = 8192):
+    """One fused pass: impute column `imp_col` of `kind` from the scoring
+    operand `lhs` (pack_lhs), then aggregate the masked sigma with weights
+    `w_agg` over the UPDATED table. Returns (new_column [n], sigma [P, P]).
+
+    x_cols/code_cols: tuples of per-column [n] arrays (columnar carry);
+    null_imp f32[n] (1 = originally null, to impute); w_agg f32[n] binary.
+    n must be a multiple of pack·chunk_cols."""
+    d, c = schema.num_cols, schema.cat_cols
+    assert len(x_cols) == d and len(code_cols) == c
+    n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
+    t_pad, vpads, seg_e, p_seg, pack, width = _sizing_fast2(schema)
+    block = pack * chunk_cols
+    assert n % block == 0, (n, block)
+    assert p_seg * pack <= LANES or pack == 1
+
+    row_spec = pl.BlockSpec((1, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    ins = ([jnp.asarray(xc, jnp.float32).reshape(1, n) for xc in x_cols]
+           + [jnp.asarray(cc, jnp.int32).reshape(1, n) for cc in code_cols]
+           + [jnp.asarray(null_imp, jnp.float32).reshape(1, n),
+              jnp.asarray(w_agg, jnp.float32).reshape(1, n),
+              jnp.asarray(lhs, jnp.bfloat16)])
+    col_dtype = jnp.int32 if kind == "cat" else jnp.float32
+    new_col, gram = pl.pallas_call(
+        functools.partial(_fused_kernel, schema=schema, kind=kind,
+                          imp_col=imp_col, n_rows=n_rows, t_pad=t_pad,
+                          vpads=vpads, seg_e=seg_e, p_seg=p_seg, pack=pack,
+                          chunk=chunk_cols, width=width),
+        grid=(n // block,),
+        in_specs=[row_spec] * (d + c + 2)
+        + [pl.BlockSpec((lhs.shape[0], width), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), col_dtype),
+            jax.ShapeDtypeStruct((width, width), jnp.float32),
+        ),
+    )(*ins)
+    sigma = _fast2_epilogue(gram, schema, t_pad, vpads, seg_e, p_seg, pack)
+    return new_col[0], sigma

@@ -163,3 +163,48 @@ def test_nb_pallas_grouped_ragged_rows(data):
     np.testing.assert_allclose(np.asarray(got.quad_diag),
                                np.asarray(ref.quad_diag),
                                rtol=1e-6, atol=5e-2)
+
+
+def test_fused_impute_aggregate_loop_matches_unfused():
+    """The fused impute+aggregate MICE loop == the unfused device loop
+    (kernel='xla', trainer='solve', noise=False): identical codes, numeric
+    write-backs within the split-precision scoring error (~1e-6 relative)
+    plus the v2 Gram's f32-accumulation-order difference."""
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_imputation_tpu.mice.device_round import (
+        mice_loop_device, mice_loop_device_fused)
+
+    rng = np.random.default_rng(23)
+    n = 1024
+    cls = rng.integers(0, 3, size=n)
+    z = rng.normal(size=n)
+    x = np.stack([cls * 2.0 + 0.3 * z,
+                  0.7 * cls + 0.2 * rng.normal(size=n),
+                  rng.normal(size=n)]).astype(np.float32)
+    c = np.stack([cls, rng.integers(0, 5, size=n)]).astype(np.int32)
+    nn = np.zeros((3, n), bool)
+    cn = np.zeros((2, n), bool)
+    nn[1, rng.random(n) < 0.2] = True
+    cn[0, rng.random(n) < 0.2] = True
+    schema = FeatureSchema(num_cols=3,
+                           cat_keys=(tuple(range(3)), tuple(range(5))))
+    kw = dict(schema=schema, num_cols_to_impute=(1,),
+              cat_cols_to_impute=(0,), iters=2)
+
+    with pltpu.force_tpu_interpret_mode():
+        xf, cf = mice_loop_device_fused(
+            jnp.asarray(x), jnp.asarray(c), jnp.asarray(nn),
+            jnp.asarray(cn), chunk_cols=128, **kw)
+        xf, cf = np.asarray(xf), np.asarray(cf)
+
+    xu, cu, _ = mice_loop_device(
+        jnp.asarray(x), jnp.asarray(c), jnp.asarray(nn), jnp.asarray(cn),
+        jax.random.PRNGKey(0), kernel="xla", trainer="solve", noise=False,
+        **kw)
+    np.testing.assert_array_equal(cf, np.asarray(cu))
+    np.testing.assert_allclose(xf, np.asarray(xu), rtol=2e-3, atol=2e-3)
+    # observed cells untouched
+    np.testing.assert_array_equal(xf[0], x[0])
+    np.testing.assert_array_equal(xf[1][~nn[1]], x[1][~nn[1]])
