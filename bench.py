@@ -36,7 +36,7 @@ import time
 
 import numpy as np
 
-N_ROWS = 8_355_840  # divisible by v2 pack*chunk (4*8192) and v1/HIGHEST (5*2048)
+N_ROWS = 8_355_840  # divisible by v3 (5*16384), v2 (4*8192), v1 (5*2048)
 
 
 def log(*a):
@@ -103,7 +103,7 @@ def bench_tpu(schema):
 
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
         sigma_pallas,
-        sigma_pallas_fast2,
+        sigma_pallas_fast3,
     )
 
     @jax.jit
@@ -124,12 +124,12 @@ def bench_tpu(schema):
 
     @functools.partial(jax.jit, static_argnames=("iters", "fast"))
     def loop(x, c, w, iters: int, fast: bool = True):
-        # masks are binary -> the split-precision v2 fast kernel applies
+        # masks are binary -> the split-precision v3 compact kernel applies
         def body(i, acc):
             # vary the input per iteration so XLA cannot hoist/CSE the
             # kernel out of the loop (would fake the slope measurement)
             wi = w + 1e-9 * i.astype(jnp.float32)
-            s = (sigma_pallas_fast2(x, c, wi, schema=schema) if fast
+            s = (sigma_pallas_fast3(x, c, wi, schema=schema) if fast
                  else sigma_pallas(x, c, wi, schema=schema))
             return acc + s
         return jax.lax.fori_loop(0, iters, body,
@@ -204,14 +204,14 @@ def bench_numeric_4_0(n=1_024_000):
 
     from duckdb_imputation_tpu import FeatureSchema
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
-        _sizing_fast2,
-        sigma_pallas_fast2,
+        _fast3_chunk,
+        _sizing_fast3,
+        sigma_pallas_fast3,
     )
 
     schema = FeatureSchema(num_cols=4, cat_keys=())
-    pack = _sizing_fast2(schema)[4]
-    block = pack * 8192
-    n = (n // block) * block
+    block = _sizing_fast3(schema)[3] * _fast3_chunk(schema)
+    n = max((n // block), 1) * block
 
     key = jax.random.PRNGKey(1)
     x = jax.random.normal(key, (4, n), jnp.float32)
@@ -222,7 +222,7 @@ def bench_numeric_4_0(n=1_024_000):
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(x, w, iters: int):
         def body(i, acc):
-            s = sigma_pallas_fast2(x, None,
+            s = sigma_pallas_fast3(x, jnp.zeros((0, n), jnp.int32),
                                    w + 1e-9 * i.astype(jnp.float32),
                                    schema=schema)
             return acc + s
@@ -297,21 +297,21 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
     import jax.numpy as jnp
 
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
-        _sizing,
-        _sizing_fast2,
+        _sizing_fast3,
     )
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
         _device_group_sort,
-        _sigma_pallas_grouped_fast2_padded,
-        _sigma_pallas_grouped_unsorted_fast2,
+        _sigma_pallas_grouped_fast3_padded,
+        _sigma_pallas_grouped_unsorted_fast3,
     )
 
-    pack, _ = _sizing(schema)
-    block = pack * 2048
-    chunk2 = 8192
-    block2 = _sizing_fast2(schema)[4] * chunk2   # v2 fast sorted layout
-    n -= n % (block * block2 // np.gcd(block, block2))
-    n_total = n + (groups + 1) * block2  # sort_by_group's padded length
+    pack3 = _sizing_fast3(schema)[3]
+    chunk_u = 8192                       # v3 unsorted measured-fastest
+    block_u = pack3 * chunk_u
+    chunk_s = 16384
+    block_s = pack3 * chunk_s            # v3 fast sorted layout
+    n -= n % (block_u * block_s // np.gcd(block_u, block_s))
+    n_total = n + (groups + 1) * block_s  # sort_by_group's padded length
     d_num, d_cat = schema.num_cols, schema.cat_cols
 
     @jax.jit
@@ -332,25 +332,25 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
     @functools.partial(jax.jit, static_argnames=("iters", "presorted"))
     def loop(x, c, w, g, iters: int, presorted: bool):
         x_s, c_s, w_s, gmap, first = _device_group_sort(
-            x, c, w, g, num_groups=groups, block=block2, n_total=n_total,
+            x, c, w, g, num_groups=groups, block=block_s, n_total=n_total,
             d=d_num, c=d_cat)
 
         def body_public(i, acc):
-            # the public one-shot method='pallas' dispatch at G=8: v2
-            # unsorted split-precision kernel (packed array built once,
-            # one MXU pass per group), zero prep (weights perturbed to
-            # defeat loop hoisting; rounds away in the bf16 fold)
-            s = _sigma_pallas_grouped_unsorted_fast2(
+            # the public one-shot method='pallas' dispatch at G=8: v3
+            # unsorted compact split-precision kernel (packed array built
+            # once, one MXU pass per group), zero prep (weights perturbed
+            # to defeat loop hoisting; rounds away in the bf16 fold)
+            s = _sigma_pallas_grouped_unsorted_fast3(
                 x, c, w + 1e-9 * i.astype(jnp.float32), g, schema=schema,
-                num_groups=groups, chunk_cols=2048)
+                num_groups=groups, chunk_cols=chunk_u)
             return acc + jnp.sum(s, axis=0)
 
         def body_presorted(i, acc):
             # the sort_by_group(fast=True)-once repeated-call pattern:
-            # v2 split-precision sorted-slab kernel, grouping costs nothing
-            s = _sigma_pallas_grouped_fast2_padded(
+            # v3 split-precision sorted-slab kernel, grouping costs nothing
+            s = _sigma_pallas_grouped_fast3_padded(
                 x_s, c_s, w_s + 1e-9 * i.astype(jnp.float32), gmap, first,
-                schema=schema, num_groups=groups + 1, chunk_cols=chunk2)
+                schema=schema, num_groups=groups + 1, chunk_cols=chunk_s)
             return acc + jnp.sum(s[:groups], axis=0)
 
         return jax.lax.fori_loop(0, iters,
@@ -362,22 +362,32 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
         per = slope_time(
             lambda k, p=presorted: np.asarray(
                 loop(x, c, w, g, iters=k, presorted=p)), 4, 24)
-        tag = ("presorted kernel-only (v2 fast)" if presorted
-               else "public one-shot (zero-prep unsorted)")
+        tag = ("presorted kernel-only (v3 fast)" if presorted
+               else "public one-shot (zero-prep unsorted v3)")
         log(f"QDA grouped skewed ({groups} classes, 90% hot, {tag}) @{n}: "
             f"{per * 1e3:.2f} ms -> {n / per / 1e9:.2f}G rows/s")
         rates.append(n / per)
     return tuple(rates)
 
 
-def bench_mice_round(schema, n=10_000_000):
+def bench_mice_round(schema, n=10_000_000, fused: bool = True):
     """Full MICE round (BASELINE config 5, single chip): masked aggregate +
     train + predict + write-back for 1 continuous and 1 categorical null
-    column over n rows, via the fused single-dispatch loop."""
+    column over n rows, as ONE dispatch for the whole loop.
+
+    fused=True measures the production deterministic path
+    (mice_loop_device_fused: each Pallas call imputes the previous column
+    AND aggregates the next column's sigma in the same pass — 2 table
+    passes per round); fused=False measures the general loop
+    (kernel='pallas_fast': separate aggregate and predict passes, 4/round),
+    which is also the path that supports stochastic noise and GD."""
     import jax
     import jax.numpy as jnp
 
-    from duckdb_imputation_tpu.mice.device_round import mice_loop_device
+    from duckdb_imputation_tpu.mice.device_round import (
+        mice_loop_device,
+        mice_loop_device_fused,
+    )
 
     key = jax.random.PRNGKey(0)
 
@@ -400,10 +410,16 @@ def bench_mice_round(schema, n=10_000_000):
 
     def run(iters, xx):
         # x/codes are DONATED by the loop — hand over fresh buffers per call
-        xo, co, _ = mice_loop_device(
-            xx + 0.0, c + 0, nn, cn, key, schema=schema,
-            num_cols_to_impute=(1,), cat_cols_to_impute=(0,),
-            iters=jnp.int32(iters), kernel="pallas_fast")
+        if fused:
+            xo, co = mice_loop_device_fused(
+                xx + 0.0, c + 0, nn, cn, schema=schema,
+                num_cols_to_impute=(1,), cat_cols_to_impute=(0,),
+                iters=jnp.int32(iters))
+        else:
+            xo, co, _ = mice_loop_device(
+                xx + 0.0, c + 0, nn, cn, key, schema=schema,
+                num_cols_to_impute=(1,), cat_cols_to_impute=(0,),
+                iters=jnp.int32(iters), kernel="pallas_fast")
         return float(np.asarray(xo[1, :4]).sum())
 
     run(1, x)                                   # compile
@@ -416,7 +432,8 @@ def bench_mice_round(schema, n=10_000_000):
     # the 100M config lower so one k_hi call stays a few seconds
     per_round = slope_time(timed, 8, 64,
                            k_max=4096 if n <= 20_000_000 else 128)
-    log(f"MICE round @{n} rows (1 num + 1 cat null col): "
+    log(f"MICE round @{n} rows (1 num + 1 cat null col, "
+        f"{'fused' if fused else 'unfused pallas_fast'}): "
         f"{per_round * 1e3:.1f} ms/round")
     return per_round
 
@@ -448,12 +465,17 @@ def main():
         for big_n in (100_000_000, 50_000_000):
             try:
                 extras[f"mice_round_ms_{big_n // 1_000_000}M_rows"] = round(
-                    bench_mice_round(schema, n=big_n) * 1e3, 1)
+                    bench_mice_round(schema, n=big_n, fused=False) * 1e3, 1)
                 break
             except Exception as e:  # OOM headroom on a shared chip
                 log(f"{big_n // 1_000_000}M MICE config skipped: "
                     f"{str(e)[:120]}")
-    mice_round_s = bench_mice_round(schema)
+        # the fused impute+aggregate loop halves the pass count but its
+        # kernel still runs the v2 layout; measured ~even at 10M and behind
+        # at 100M, so the default (unfused, v3-agg) path is the headline
+        extras["mice_round_ms_10M_rows_fused"] = round(
+            bench_mice_round(schema, fused=True) * 1e3, 1)
+    mice_round_s = bench_mice_round(schema, fused=False)
 
     # internal consistency: orderings that CANNOT physically hold signal a
     # broken measurement (the round-3 failure mode), not a fast kernel

@@ -168,10 +168,10 @@ def _make_agg(kernel: str, schema: FeatureSchema):
     fed by the per-column tuples directly (no stacking on the Pallas
     path)."""
     if kernel == "pallas_fast":
-        from ..ring.kernels.sigma_pallas import sigma_pallas_fast2_cols_padded
+        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_cols_padded
 
         def agg(x_cols, code_cols, null_row):
-            return sigma_pallas_fast2_cols_padded(
+            return sigma_pallas_fast_cols_padded(
                 x_cols, code_cols, 1.0 - null_row.astype(jnp.float32),
                 schema=schema)
     else:
@@ -191,8 +191,8 @@ def _kernel_block(kernel: str, schema: FeatureSchema) -> int:
     """Row-count granule of the chosen aggregation kernel (1 for XLA)."""
     if kernel != "pallas_fast":
         return 1
-    from ..ring.kernels.sigma_pallas import _sizing_fast2
-    return _sizing_fast2(schema)[4] * 8192
+    from ..ring.kernels.sigma_pallas import fast_cols_block
+    return fast_cols_block(schema)
 
 
 def _kernel_pad(kernel: str, schema: FeatureSchema, n: int) -> int:
@@ -425,8 +425,8 @@ def _make_delta_agg(kernel: str, schema: FeatureSchema):
     """(x_cols, code_cols, weights) → sigma for the delta loops (weights
     are the validity mask of the gathered dirty rows)."""
     if kernel == "pallas_fast":
-        from ..ring.kernels.sigma_pallas import sigma_pallas_fast2_cols_padded
-        return functools.partial(sigma_pallas_fast2_cols_padded,
+        from ..ring.kernels.sigma_pallas import sigma_pallas_fast_cols_padded
+        return functools.partial(sigma_pallas_fast_cols_padded,
                                  schema=schema)
 
     def agg(x_cols, code_cols, weights):

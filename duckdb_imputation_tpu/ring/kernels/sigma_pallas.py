@@ -529,6 +529,40 @@ def sigma_pallas_fast2_cols(x_cols, code_cols, weights, *,
     return _fast2_epilogue(out, schema, t_pad, vpads, seg_e, p_seg, pack)
 
 
+def _fast_cols_use_v3(schema: FeatureSchema) -> bool:
+    """Cost-based v3-vs-v2 choice for the per-column-ref kernels (same
+    rule as sigma_pallas_fast_padded)."""
+    sz3 = _sizing_fast3(schema)
+    sz2 = _sizing_fast2(schema)
+    cost3 = _mxu_cost_per_row(sz3[4], sz3[3])
+    cost2 = (_mxu_cost_per_row(LANES, sz2[4]) if sz2[3] <= LANES
+             else float("inf"))
+    return cost3 <= cost2 and sz3[4] <= 2 * LANES
+
+
+def fast_cols_block(schema: FeatureSchema) -> int:
+    """Row granule of the dispatched per-column fast kernel."""
+    if _fast_cols_use_v3(schema):
+        return _sizing_fast3(schema)[3] * _fast3_chunk(schema)
+    return _sizing_fast2(schema)[4] * 8192
+
+
+def sigma_pallas_fast_cols_padded(x_cols, code_cols, weights, *,
+                                  schema: FeatureSchema,
+                                  chunk_cols: int | None = None
+                                  ) -> jax.Array:
+    """Dispatched split-precision masked sigma over per-column tuples
+    (BINARY weights): v3 compact kernel where it wins, else v2. The MICE
+    device loops' aggregation entry point."""
+    if _fast_cols_use_v3(schema):
+        return sigma_pallas_fast3_cols_padded(x_cols, code_cols, weights,
+                                              schema=schema,
+                                              chunk_cols=chunk_cols)
+    return sigma_pallas_fast2_cols_padded(x_cols, code_cols, weights,
+                                          schema=schema,
+                                          chunk_cols=chunk_cols or 8192)
+
+
 def sigma_pallas_fast2_cols_padded(x_cols, code_cols, weights, *,
                                    schema: FeatureSchema,
                                    chunk_cols: int = 8192) -> jax.Array:
@@ -576,15 +610,382 @@ def sigma_pallas_fast2_padded(x_num, codes, weights, *,
                               chunk_cols=chunk_cols)
 
 
+# ---------------------------------------------------------------------------
+# Fast split-precision variant v3: compact 8-aligned packing, shared ones-tail
+# ---------------------------------------------------------------------------
+
+def _sizing_fast3(schema: FeatureSchema):
+    """(nseg, bins, core, pack, width, tail_base, tail_rows) for the v3
+    compact layout.
+
+    v2 spends 3 of its 32 headline-segment rows on the literal ones row
+    (padded into an 8-row block with the d numeric rows) plus 4 more on
+    residual-section padding. v3 removes both overheads while keeping every
+    concat boundary 8-aligned (misaligned f32 concats force Mosaic sublane
+    relayouts):
+
+      * the hi/lo numeric rows share ONE section: [x·w (d rows) ‖
+        residual (d rows)] padded to round_up(2d, 8) — the self-Gram's
+        (hi+lo)×(hi+lo) sub-blocks sum to the exact f32 products, same
+        split-precision algebra as v2;
+      * cat columns are FIRST-FIT BIN-PACKED into shared 8·k-row sections
+        (two vocab-3 columns share one 8-row bin instead of two);
+      * the ones row moves OUT of the per-segment layout into a shared
+        8·⌈pack/8⌉-row TAIL: tail row k holds segment k's weight row, so
+        out[tail_k, seg_k·rows] delivers N / lin / lin_cat for segment k
+        while tail×tail cross terms land in discarded off-diagonal slots.
+
+    Headline config (d=4, two vocab-8 cats): core = 8+8+8 = 24, pack = 5
+    (5·24+8 = 128) vs v2's pack 4 — 25% less MXU work per row. Pure-numeric
+    d=4: core = 8, pack = 14 (14·8+16 = 128) vs v2's 8 — 1.75×.
+
+    bins: tuple of (bin_rows, ((cat_col_index, offset_in_bin), ...)).
+    """
+    d = schema.num_cols
+    nseg = _round_up(2 * d, 8) if d else 0
+    bins: list[list] = []   # [rows, used, [(j, off)]]
+    for j, s in enumerate(schema.cat_sizes):
+        for b in bins:
+            if b[0] - b[1] >= s:
+                b[2].append((j, b[1]))
+                b[1] += s
+                break
+        else:
+            bins.append([_round_up(s, 8), s, [(j, 0)]])
+    core = nseg + sum(b[0] for b in bins)
+    pack = 1
+    for k in range(max(LANES // max(core, 1), 1), 0, -1):
+        if k * core + 8 * ((k + 7) // 8) <= LANES:
+            pack = k
+            break
+    tail_rows = 8 * ((pack + 7) // 8)
+    width = (LANES if pack * core + tail_rows <= LANES
+             else _round_up(core + tail_rows, LANES))
+    tail_base = pack * core
+    bins_t = tuple((b[0], tuple(b[2])) for b in bins)
+    return nseg, bins_t, core, pack, width, tail_base, tail_rows
+
+
+def _fast3_segment(x_rows, code_rows, wrow, *, schema: FeatureSchema,
+                   nseg: int, bins, chunk: int):
+    """Build one segment's [core, chunk] f32 pieces (weighted, hi‖lo split).
+    x_rows/code_rows: per-column [1, chunk] slices; wrow [1, chunk].
+
+    Every operation here runs at full sublane height — [1, chunk]
+    intermediates are poison (Mosaic pads them to 8 sublanes, so a
+    per-column scalar-row op costs a full 8-row op; a first draft built
+    hi/lo per column that way and measured 1.5-2× SLOWER overall despite
+    the MXU saving):
+      * the numeric hi rows are iota-masked madds straight off the refs;
+      * the lo rows are ONE cast-roundtrip subtract on the whole section
+        (zero on the zero rows) rolled down d sublanes — cat rows never
+        need residuals (one-hots are bf16-exact);
+      * solo-bin one-hot compares need NO out-of-vocab guard at all:
+        code==size hits the bin's pad row (unmapped in the collapse
+        matrix) or no row, negative codes hit nothing. Shared bins guard
+        with [1, chunk] compares only (unavoidable, rare)."""
+    d = schema.num_cols
+    sizes = schema.cat_sizes
+    pieces = []
+    if nseg:
+        qn = jax.lax.broadcasted_iota(jnp.int32, (nseg, 1), 0)
+        hi = (qn == 0).astype(jnp.float32) * x_rows[0]
+        for j in range(1, d):
+            hi = hi + (qn == j).astype(jnp.float32) * x_rows[j]
+        if wrow is not None:
+            hi = hi * wrow
+        lo = hi - hi.astype(jnp.bfloat16).astype(jnp.float32)
+        pieces.append(hi + pltpu.roll(lo, shift=d, axis=0))
+    for rows, cols in bins:
+        qb = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        acc = None
+        for j, off in cols:
+            cj = code_rows[j]
+            if len(cols) == 1:
+                hit = (qb == cj).astype(jnp.float32)
+            else:
+                cadj = jnp.where((cj >= 0) & (cj < sizes[j]), cj + off, -1)
+                hit = (qb == cadj).astype(jnp.float32)
+            acc = hit if acc is None else acc + hit
+        pieces.append(acc if wrow is None else acc * wrow)
+    return pieces
+
+
+def _sigma_fast3_kernel(x_ref, codes_ref, w_ref, out_ref, *,
+                        schema: FeatureSchema, nseg: int, bins, core: int,
+                        pack: int, chunk: int, width: int, tail_base: int,
+                        tail_rows: int):
+    """v3 kernel body: compact packed build, one bf16 self-Gram per block.
+    Split-precision algebra identical to _sigma_fast2_kernel (binary w)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    d, c = schema.num_cols, schema.cat_cols
+    segs = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        wrow = w_ref[:, sl]
+        segs.extend(_fast3_segment(
+            [x_ref[j, sl][None, :] for j in range(d)],
+            [codes_ref[j, sl][None, :] for j in range(c)],
+            wrow, schema=schema, nseg=nseg, bins=bins, chunk=chunk))
+    # tail: row k = segment k's weight row — ONE sublane-split reshape of
+    # the weight block instead of `pack` iota madds
+    tail = w_ref[0, :pack * chunk].reshape(pack, chunk)
+    if tail_rows > pack:
+        tail = jnp.concatenate(
+            [tail, jnp.zeros((tail_rows - pack, chunk), jnp.float32)], axis=0)
+    segs.append(tail)
+    if tail_base + tail_rows < width:
+        segs.append(jnp.zeros((width - tail_base - tail_rows, chunk),
+                              jnp.float32))
+    arr = jnp.concatenate(segs, axis=0).astype(jnp.bfloat16) \
+        if len(segs) > 1 else segs[0].astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        arr, arr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _fast3_collapse(schema: FeatureSchema) -> np.ndarray:
+    """0/1 collapse matrix C[pack, width, P]: packed row → sigma row, per
+    segment. σ = Σ_k C_kᵀ·out·C_k — hi and lo rows both map to their
+    numeric sigma row (summing the four hi/lo cross products into the exact
+    f32 value), bin rows map through the bin layout, tail row k maps to
+    sigma row 0 for segment k only (cross-segment tail/tail products are
+    never touched)."""
+    nseg, bins, core, pack, width, tail_base, _ = _sizing_fast3(schema)
+    d = schema.num_cols
+    offs = schema.offsets
+    p = schema.sigma_size
+    C = np.zeros((pack, width, p), np.float32)
+    for k in range(pack):
+        base = k * core
+        for j in range(d):
+            C[k, base + j, 1 + j] = 1.0
+            C[k, base + d + j, 1 + j] = 1.0
+        row = base + nseg
+        for rows, cols in bins:
+            for j, off in cols:
+                size = len(schema.cat_keys[j])
+                for v in range(size):
+                    C[k, row + off + v, 1 + d + offs[j] + v] = 1.0
+            row += rows
+        C[k, tail_base + k, 0] = 1.0
+    return C
+
+
+def _fast3_epilogue(out, schema: FeatureSchema):
+    C = jnp.asarray(_fast3_collapse(schema))
+    return jnp.einsum("krp,rs,ksq->pq", C, out, C,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "chunk_cols"))
+def sigma_pallas_fast3(x_num, codes, weights, *, schema: FeatureSchema,
+                       chunk_cols: int | None = None) -> jax.Array:
+    """v3 compact-packed split-precision masked sigma for BINARY weights.
+    Same split-precision semantics as sigma_pallas_fast2 (f32 accumulation
+    order differs); less padded MXU work per row (see _sizing_fast3).
+    n must be a multiple of pack*chunk_cols."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = x_num.shape[-1] if d else codes.shape[-1]
+    if chunk_cols is None:
+        chunk_cols = _fast3_chunk(schema)
+    nseg, bins, core, pack, width, tail_base, tail_rows = \
+        _sizing_fast3(schema)
+    block = pack * chunk_cols
+    assert n % block == 0, (n, block)
+
+    x_in = (jnp.asarray(x_num, jnp.float32) if d
+            else jnp.zeros((1, n), jnp.float32))
+    c_in = (jnp.asarray(codes, jnp.int32) if c
+            else jnp.zeros((1, n), jnp.int32))
+    w_in = jnp.asarray(weights, jnp.float32).reshape(1, n)
+
+    out = pl.pallas_call(
+        functools.partial(_sigma_fast3_kernel, schema=schema, nseg=nseg,
+                          bins=bins, core=core, pack=pack, chunk=chunk_cols,
+                          width=width, tail_base=tail_base,
+                          tail_rows=tail_rows),
+        grid=(n // block,),
+        in_specs=[
+            pl.BlockSpec((max(d, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((width, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((width, width), jnp.float32),
+    )(x_in, c_in, w_in)
+    return _fast3_epilogue(out, schema)
+
+
+def _fast3_chunk(schema: FeatureSchema) -> int:
+    """Default chunk: 16384 keeps the [width, chunk] f32 build ≤ 8 MB of
+    VMEM at width 128 (measured ~6% faster than 8192); wide single-pack
+    schemas drop to 4096."""
+    return 16384 if _sizing_fast3(schema)[4] <= LANES else 4096
+
+
+def _sigma_fast3_cols_kernel(*refs, schema: FeatureSchema, nseg: int,
+                             bins, core: int, pack: int, chunk: int,
+                             width: int, tail_base: int, tail_rows: int):
+    """Per-column-ref variant of _sigma_fast3_kernel: refs =
+    (x_0 .. x_{d-1}, code_0 .. code_{c-1}, w, out), each input [1, block].
+    Identical math; feeds the columnar table layout without re-stacking."""
+    d, c = schema.num_cols, schema.cat_cols
+    x_refs = refs[:d]
+    c_refs = refs[d:d + c]
+    w_ref = refs[d + c]
+    out_ref = refs[d + c + 1]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    segs = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        segs.extend(_fast3_segment(
+            [x_refs[j][:, sl] for j in range(d)],
+            [c_refs[j][:, sl] for j in range(c)],
+            w_ref[:, sl], schema=schema, nseg=nseg, bins=bins, chunk=chunk))
+    tail = w_ref[0, :pack * chunk].reshape(pack, chunk)
+    if tail_rows > pack:
+        tail = jnp.concatenate(
+            [tail, jnp.zeros((tail_rows - pack, chunk), jnp.float32)],
+            axis=0)
+    segs.append(tail)
+    if tail_base + tail_rows < width:
+        segs.append(jnp.zeros((width - tail_base - tail_rows, chunk),
+                              jnp.float32))
+    arr = jnp.concatenate(segs, axis=0).astype(jnp.bfloat16) \
+        if len(segs) > 1 else segs[0].astype(jnp.bfloat16)
+    out_ref[:] += jax.lax.dot_general(
+        arr, arr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "chunk_cols"))
+def sigma_pallas_fast3_cols(x_cols, code_cols, weights, *,
+                            schema: FeatureSchema,
+                            chunk_cols: int | None = None) -> jax.Array:
+    """sigma_pallas_fast3 fed by TUPLES of per-column [n] arrays (the
+    columnar pytree layout). n must be a v3 block multiple."""
+    d, c = schema.num_cols, schema.cat_cols
+    assert len(x_cols) == d and len(code_cols) == c
+    n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
+    if chunk_cols is None:
+        chunk_cols = _fast3_chunk(schema)
+    nseg, bins, core, pack, width, tail_base, tail_rows = \
+        _sizing_fast3(schema)
+    block = pack * chunk_cols
+    assert n % block == 0, (n, block)
+
+    row_spec = pl.BlockSpec((1, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    ins = ([jnp.asarray(xc, jnp.float32).reshape(1, n) for xc in x_cols]
+           + [jnp.asarray(cc, jnp.int32).reshape(1, n) for cc in code_cols]
+           + [jnp.asarray(weights, jnp.float32).reshape(1, n)])
+    out = pl.pallas_call(
+        functools.partial(_sigma_fast3_cols_kernel, schema=schema,
+                          nseg=nseg, bins=bins, core=core, pack=pack,
+                          chunk=chunk_cols, width=width,
+                          tail_base=tail_base, tail_rows=tail_rows),
+        grid=(n // block,),
+        in_specs=[row_spec] * len(ins),
+        out_specs=pl.BlockSpec((width, width), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((width, width), jnp.float32),
+    )(*ins)
+    return _fast3_epilogue(out, schema)
+
+
+def sigma_pallas_fast3_cols_padded(x_cols, code_cols, weights, *,
+                                   schema: FeatureSchema,
+                                   chunk_cols: int | None = None
+                                   ) -> jax.Array:
+    """Zero-weight pad n up to a v3 block multiple (per-column inputs)."""
+    d = schema.num_cols
+    n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
+    if chunk_cols is None:
+        chunk_cols = _fast3_chunk(schema)
+    pack = _sizing_fast3(schema)[3]
+    block = pack * chunk_cols
+    pad = (-n) % block
+    if pad:
+        x_cols = tuple(jnp.pad(jnp.asarray(xc, jnp.float32), (0, pad))
+                       for xc in x_cols)
+        code_cols = tuple(jnp.pad(jnp.asarray(cc, jnp.int32), (0, pad))
+                          for cc in code_cols)
+        w = (jnp.ones((n,), jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+        weights = jnp.pad(w, (0, pad))
+    elif weights is None:
+        weights = jnp.ones((n,), jnp.float32)
+    return sigma_pallas_fast3_cols(x_cols, code_cols, weights,
+                                   schema=schema, chunk_cols=chunk_cols)
+
+
+def sigma_pallas_fast3_padded(x_num, codes, weights, *,
+                              schema: FeatureSchema,
+                              chunk_cols: int | None = None) -> jax.Array:
+    """Zero-weight pad n up to a v3 block multiple."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = x_num.shape[-1] if d else codes.shape[-1]
+    if chunk_cols is None:
+        chunk_cols = _fast3_chunk(schema)
+    pack = _sizing_fast3(schema)[3]
+    block = pack * chunk_cols
+    pad = (-n) % block
+    if pad:
+        if d:
+            x_num = jnp.pad(jnp.asarray(x_num, jnp.float32),
+                            ((0, 0), (0, pad)))
+        if c:
+            codes = jnp.pad(jnp.asarray(codes, jnp.int32), ((0, 0), (0, pad)))
+        w = (jnp.ones((n,), jnp.float32) if weights is None
+             else jnp.asarray(weights, jnp.float32))
+        weights = jnp.pad(w, (0, pad))
+    elif weights is None:
+        weights = jnp.ones((n,), jnp.float32)
+    return sigma_pallas_fast3(x_num, codes, weights, schema=schema,
+                              chunk_cols=chunk_cols)
+
+
+def _mxu_cost_per_row(width: int, pack: int) -> float:
+    """Padded self-Gram MXU work per table row: 2·width²/pack FLOP."""
+    return 2.0 * width * width / pack
+
+
 def sigma_pallas_fast_padded(x_num, codes, weights, *,
                              schema: FeatureSchema,
                              chunk_cols: int | None = None) -> jax.Array:
     """Split-precision masked sigma for BINARY weights, any n. Dispatches
-    to the v2 single-pass kernel when the schema's v2 segment fits the 128
-    sublanes (17.8 G rows/s measured vs 6.3 G for v1 on the headline
-    config); wide schemas fall back to the v1 three-output kernel, whose
-    packing does not pay v2's per-section 8-row padding."""
-    if _sizing_fast2(schema)[3] <= LANES:
+    by padded MXU cost per row: the v3 compact-packed kernel wins wherever
+    its tail+bin layout packs more segments (20.7 vs 17.3 G rows/s on the
+    headline config, same chip minute); v2 covers the rare schemas where
+    v3's ones-tail costs a pack slot; schemas too wide for a 128-sublane
+    segment fall back to the v1 three-output kernel."""
+    sz3 = _sizing_fast3(schema)
+    sz2 = _sizing_fast2(schema)
+    cost3 = _mxu_cost_per_row(sz3[4], sz3[3])
+    cost2 = (_mxu_cost_per_row(LANES, sz2[4]) if sz2[3] <= LANES
+             else float("inf"))
+    if cost3 <= cost2 and sz3[4] <= 2 * LANES:
+        return sigma_pallas_fast3_padded(x_num, codes, weights,
+                                         schema=schema,
+                                         chunk_cols=chunk_cols)
+    if sz2[3] <= LANES:
         return sigma_pallas_fast2_padded(x_num, codes, weights,
                                          schema=schema,
                                          chunk_cols=chunk_cols or 8192)

@@ -39,7 +39,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...schema import FeatureSchema
 from ..triple import Triple, triple_from_sigma
-from .sigma_pallas import _fast2_epilogue, _seg_size, _sizing, _sizing_fast2
+from .sigma_pallas import (
+    _fast2_epilogue,
+    _fast3_epilogue,
+    _fast3_segment,
+    _seg_size,
+    _sizing,
+    _sizing_fast2,
+    _sizing_fast3,
+)
 
 
 def _grouped_unsorted_kernel(x_ref, codes_ref, w_ref, g_ref, out_ref, *,
@@ -389,6 +397,190 @@ def _sigma_pallas_grouped_unsorted_fast2(x_num, codes, weights, group_ids, *,
         o, schema, t_pad, vpads, seg_e, p_seg, pack))(out)
 
 
+def _grouped_unsorted_fast3_kernel(x_ref, codes_ref, w_ref, g_ref, out_ref,
+                                   *, schema: FeatureSchema, nseg: int,
+                                   bins, core: int, pack: int, chunk: int,
+                                   width: int, tail_base: int,
+                                   tail_rows: int, num_groups: int):
+    """Unsorted grouped Gram in the v3 compact layout (BINARY weights):
+    the packed array is built ONCE per block UNWEIGHTED (lhs, bf16); each
+    group folds w·[g==gid] into the rhs and pays ONE MXU pass — same
+    one-sided-masking algebra as the v2 unsorted kernel, at v3's smaller
+    per-row MXU cost (pack 5 vs 4 on the headline schema). The ones-tail
+    is the all-ones rows on the lhs and the reshaped (w·mask) block rows
+    on the rhs, so N_g / lin_g / lin_cat_g come out of the same pass."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    d, c = schema.num_cols, schema.cat_cols
+    segs = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        segs.extend(_fast3_segment(
+            [x_ref[j, sl][None, :] for j in range(d)],
+            [codes_ref[j, sl][None, :] for j in range(c)],
+            None, schema=schema, nseg=nseg, bins=bins, chunk=chunk))
+    qt = jax.lax.broadcasted_iota(jnp.int32, (tail_rows, 1), 0)
+    segs.append(jnp.broadcast_to((qt < pack).astype(jnp.float32),
+                                 (tail_rows, chunk)))
+    if tail_base + tail_rows < width:
+        segs.append(jnp.zeros((width - tail_base - tail_rows, chunk),
+                              jnp.float32))
+    arr = jnp.concatenate(segs, axis=0)
+    lhs = arr.astype(jnp.bfloat16)
+
+    block = pack * chunk
+    for gid in range(num_groups):
+        wm = (w_ref[0, :block]
+              * (g_ref[0, :block] == gid).astype(jnp.float32))
+        tailw = wm.reshape(pack, chunk)
+        mult = jnp.concatenate(
+            [jnp.broadcast_to(tailw[k:k + 1, :], (core, chunk))
+             for k in range(pack)]
+            + [tailw if tail_rows == pack else jnp.concatenate(
+                [tailw, jnp.zeros((tail_rows - pack, chunk), jnp.float32)],
+                axis=0)]
+            + ([jnp.zeros((width - tail_base - tail_rows, chunk),
+                          jnp.float32)]
+               if tail_base + tail_rows < width else []),
+            axis=0)
+        rhs = (arr * mult).astype(jnp.bfloat16)
+        out_ref[gid] += jax.lax.dot_general(
+            lhs, rhs, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "num_groups",
+                                             "chunk_cols"))
+def _sigma_pallas_grouped_unsorted_fast3(x_num, codes, weights, group_ids, *,
+                                         schema: FeatureSchema,
+                                         num_groups: int, chunk_cols: int):
+    """Zero-prep unsorted grouped sigma at the v3 rate. Inputs must be
+    block-aligned (pad with weight 0); out-of-range group ids are dropped.
+    Returns f32[num_groups, P, P]."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = weights.shape[-1]
+    nseg, bins, core, pack, width, tail_base, tail_rows = \
+        _sizing_fast3(schema)
+    block = pack * chunk_cols
+    n_blocks = n // block
+
+    out = pl.pallas_call(
+        functools.partial(_grouped_unsorted_fast3_kernel, schema=schema,
+                          nseg=nseg, bins=bins, core=core, pack=pack,
+                          chunk=chunk_cols, width=width,
+                          tail_base=tail_base, tail_rows=tail_rows,
+                          num_groups=num_groups),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((max(d, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c, 1), block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_groups, width, width),
+                               lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_groups, width, width),
+                                       jnp.float32),
+    )(x_num if d else jnp.zeros((1, n), jnp.float32),
+      codes if c else jnp.zeros((1, n), jnp.int32),
+      weights.reshape(1, n),
+      jnp.asarray(group_ids, jnp.int32).reshape(1, n))
+
+    return jax.vmap(lambda o: _fast3_epilogue(o, schema))(out)
+
+
+def _grouped_fast3_kernel(gmap_ref, first_ref, x_ref, codes_ref, w_ref,
+                          out_ref, *, schema: FeatureSchema, nseg: int,
+                          bins, core: int, pack: int, chunk: int,
+                          width: int, tail_base: int, tail_rows: int):
+    """Sorted-slab grouped kernel at the v3 compact rate (BINARY weights):
+    the _sigma_fast3_kernel build with the scalar-prefetched block→slab
+    routing. Data must be group-sorted and block-padded (sort_by_group),
+    so grouping adds ZERO kernel cost over the ungrouped v3 kernel."""
+    step = pl.program_id(0)
+
+    @pl.when(first_ref[step] == 1)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    d, c = schema.num_cols, schema.cat_cols
+    segs = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        segs.extend(_fast3_segment(
+            [x_ref[j, sl][None, :] for j in range(d)],
+            [codes_ref[j, sl][None, :] for j in range(c)],
+            w_ref[:, sl], schema=schema, nseg=nseg, bins=bins, chunk=chunk))
+    tail = w_ref[0, :pack * chunk].reshape(pack, chunk)
+    if tail_rows > pack:
+        tail = jnp.concatenate(
+            [tail, jnp.zeros((tail_rows - pack, chunk), jnp.float32)],
+            axis=0)
+    segs.append(tail)
+    if tail_base + tail_rows < width:
+        segs.append(jnp.zeros((width - tail_base - tail_rows, chunk),
+                              jnp.float32))
+    arr = jnp.concatenate(segs, axis=0).astype(jnp.bfloat16)
+    out_ref[0] += jax.lax.dot_general(
+        arr, arr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("schema", "num_groups", "chunk_cols"))
+def _sigma_pallas_grouped_fast3_padded(x_num, codes, weights, gmap, first, *,
+                                       schema: FeatureSchema,
+                                       num_groups: int, chunk_cols: int):
+    """Inputs already group-sorted and padded to v3 block multiples
+    (sort_by_group(..., fast=True)); weights must be binary. Returns
+    f32[num_groups, P, P]."""
+    d, c = schema.num_cols, schema.cat_cols
+    n = x_num.shape[-1]
+    nseg, bins, core, pack, width, tail_base, tail_rows = \
+        _sizing_fast3(schema)
+    block = pack * chunk_cols
+    n_blocks = n // block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((max(d, 1), block), lambda i, g, f: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(c, 1), block), lambda i, g, f: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda i, g, f: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, width, width),
+                               lambda i, g, f: (g[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_grouped_fast3_kernel, schema=schema, nseg=nseg,
+                          bins=bins, core=core, pack=pack, chunk=chunk_cols,
+                          width=width, tail_base=tail_base,
+                          tail_rows=tail_rows),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_groups, width, width),
+                                       jnp.float32),
+    )(gmap, first,
+      x_num if d else jnp.zeros((1, n), jnp.float32),
+      codes if c else jnp.zeros((1, n), jnp.int32),
+      weights.reshape(1, n))
+
+    return jax.vmap(lambda o: _fast3_epilogue(o, schema))(out)
+
+
 # Cap on resident output-slab VMEM for the unsorted kernel (f32 bytes);
 # beyond this the sort+slab path wins despite its prep cost.
 _UNSORTED_VMEM_BUDGET = 6 << 20
@@ -402,7 +594,7 @@ def unsorted_group_limit(schema: FeatureSchema) -> int:
 def sum_to_triple_grouped_unsorted(x_num, codes, group_ids, *,
                                    schema: FeatureSchema, num_groups: int,
                                    weights=None, fast: bool | None = None,
-                                   chunk_cols: int = 2048) -> Triple:
+                                   chunk_cols: int | None = None) -> Triple:
     """GROUP BY aggregation with NO grouping prep: single pass, group
     routing by inline masks inside the kernel. Preferred for small-to-medium
     group counts (per-class LDA/QDA/NB — the reference's GROUP BY label,
@@ -422,8 +614,13 @@ def sum_to_triple_grouped_unsorted(x_num, codes, group_ids, *,
         codes = jnp.zeros((0, n), jnp.int32)
     if weights is None:
         weights = jnp.ones((n,), jnp.float32)
-    use_v2 = fast and _sizing_fast2(schema)[3] <= 128
-    pack = _sizing_fast2(schema)[4] if use_v2 else _sizing(schema)[0]
+    sz3 = _sizing_fast3(schema)
+    use_v3 = fast and sz3[4] <= 128   # compact layout fits one MXU tile
+    use_v2 = fast and not use_v3 and _sizing_fast2(schema)[3] <= 128
+    pack = (sz3[3] if use_v3
+            else _sizing_fast2(schema)[4] if use_v2 else _sizing(schema)[0])
+    if chunk_cols is None:
+        chunk_cols = 8192 if use_v3 else 2048  # v3's measured-fastest
     block = pack * chunk_cols
     pad = (-n) % block
     x_in = jnp.asarray(x_num, jnp.float32)
@@ -437,7 +634,8 @@ def sum_to_triple_grouped_unsorted(x_num, codes, group_ids, *,
             c_in = jnp.pad(c_in, ((0, 0), (0, pad)))
         w_in = jnp.pad(w_in, (0, pad))
         g_in = jnp.pad(g_in, (0, pad), constant_values=-1)
-    kern = (_sigma_pallas_grouped_unsorted_fast2 if use_v2
+    kern = (_sigma_pallas_grouped_unsorted_fast3 if use_v3
+            else _sigma_pallas_grouped_unsorted_fast2 if use_v2
             else _sigma_pallas_grouped_unsorted_fast if fast
             else _sigma_pallas_grouped_unsorted)
     sigma = kern(x_in, c_in, w_in, g_in, schema=schema,
@@ -695,6 +893,14 @@ def _device_group_sort(x_num, codes, weights, group_ids, *, num_groups: int,
     return x_s, c_s, w_s, gmap, first
 
 
+def _fast_layout_v3(schema: FeatureSchema) -> bool:
+    """True when fast sorted layouts/kernels use the v3 compact packing
+    (fits one 128-sublane MXU tile). Shared by sort_by_group and
+    sum_to_triple_grouped_presorted so layout geometry and kernel always
+    agree."""
+    return _sizing_fast3(schema)[4] <= 128
+
+
 def sort_by_group(x_num, codes, group_ids, *, schema: FeatureSchema,
                   num_groups: int, weights=None,
                   chunk_cols: int | None = None, fast: bool = False):
@@ -704,9 +910,11 @@ def sort_by_group(x_num, codes, group_ids, *, schema: FeatureSchema,
     `sum_to_triple_grouped_presorted` call is then kernel-only — the
     database analogue of clustering the table by the GROUP BY key once.
 
-    fast=True lays blocks out for the v2 split-precision kernel (single
+    fast=True lays blocks out for the split-precision kernels (single
     bf16 MXU pass — the ungrouped headline rate; weights at aggregation
-    time must be BINARY)."""
+    time must be BINARY): the v3 compact layout where it fits one MXU
+    tile, else v2. The choice is a pure function of the schema, so the
+    presorted consumer recomputes it consistently."""
     d, c = schema.num_cols, schema.cat_cols
     n = len(group_ids)
     if x_num is None:
@@ -715,9 +923,11 @@ def sort_by_group(x_num, codes, group_ids, *, schema: FeatureSchema,
         codes = jnp.zeros((0, n), jnp.int32)
     if weights is None:
         weights = jnp.ones((n,), jnp.float32)
+    use_v3 = fast and _fast_layout_v3(schema)
     if chunk_cols is None:
-        chunk_cols = 8192 if fast else 2048
-    pack = _sizing_fast2(schema)[4] if fast else _sizing(schema)[0]
+        chunk_cols = 16384 if use_v3 else 8192 if fast else 2048
+    pack = (_sizing_fast3(schema)[3] if use_v3
+            else _sizing_fast2(schema)[4] if fast else _sizing(schema)[0])
     block = pack * chunk_cols
     n_total = (-(-n // block)) * block + (num_groups + 1) * block
     x_s, c_s, w_s, gmap, first = _device_group_sort(
@@ -736,7 +946,8 @@ def sum_to_triple_grouped_presorted(x_sorted, codes_sorted, w_sorted,
     one kernel launch, no prep. Weights may differ from the layout-time
     weights (e.g. a per-round observed-mask in sorted row order; must stay
     BINARY for a fast layout)."""
-    kern = (_sigma_pallas_grouped_fast2_padded if layout.fast
+    kern = ((_sigma_pallas_grouped_fast3_padded if _fast_layout_v3(schema)
+             else _sigma_pallas_grouped_fast2_padded) if layout.fast
             else _sigma_pallas_grouped_padded)
     sigma = kern(
         x_sorted, codes_sorted, w_sorted, layout.gmap, layout.first,

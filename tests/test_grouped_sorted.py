@@ -80,7 +80,7 @@ def test_grouped_pallas_interpret():
     num, codes, g, schema = _data(n=6000)
     with pltpu.force_tpu_interpret_mode():
         got = sum_to_triple_grouped_pallas(num, codes, g, schema=schema,
-                                           num_groups=7)
+                                           num_groups=7, chunk_cols=512)
     ref = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
                                 method="masked")
     np.testing.assert_array_equal(np.asarray(ref.n), np.asarray(got.n))
@@ -127,7 +127,8 @@ def test_grouped_pallas_unsorted_fast_interpret():
     num, codes, g, schema = _data(n=6000, skew=True)
     with pltpu.force_tpu_interpret_mode():
         got = sum_to_triple_grouped_unsorted(num, codes, g, schema=schema,
-                                             num_groups=7, fast=True)
+                                             num_groups=7, fast=True,
+                                             chunk_cols=512)
     ref = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
                                 method="masked")
     np.testing.assert_array_equal(np.asarray(ref.n), np.asarray(got.n))
@@ -165,7 +166,12 @@ def test_grouped_pallas_presorted_fast_interpret():
         x_s, c_s, w_s, layout = sort_by_group(
             num, codes, g, schema=schema, num_groups=7, weights=w,
             fast=True, chunk_cols=512)
-        assert layout.fast and layout.block == 4 * 512
+        # fast layout geometry follows the dispatched kernel's sizing
+        # (v3 compact here: pack 5 at this schema)
+        from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+            _sizing_fast3,
+        )
+        assert layout.fast and layout.block == _sizing_fast3(schema)[3] * 512
         got = sum_to_triple_grouped_presorted(x_s, c_s, w_s, layout,
                                               schema=schema)
     ref = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
@@ -228,18 +234,29 @@ def test_grouped_pallas_presorted_reuse():
 def test_grouped_pallas_unsorted_fast2_interpret():
     """The v2 unsorted grouped kernel (packed array built once, one MXU
     pass per group) matches the masked path: counts/one-hot exact, quad
-    within split-precision tolerance. Also pins the dispatch: fast +
-    narrow schema routes to the v2 kernel."""
+    within split-precision tolerance. Called directly — the public fast
+    dispatch now prefers the v3 compact kernel (covered above), v2 remains
+    the fallback for schemas whose v3 tail costs a pack slot."""
+    import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
-        sum_to_triple_grouped_unsorted,
+        _sigma_pallas_grouped_unsorted_fast2,
     )
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import _sizing_fast2
+    from duckdb_imputation_tpu.ring.triple import triple_from_sigma
     num, codes, g, schema = _data(n=6000, skew=True)
     g = np.where(g == 4, -3, g).astype(np.int32)   # OOR dropped, grp 4 empty
+    block = _sizing_fast2(schema)[4] * 512
+    pad = (-len(g)) % block
+    num_p = np.pad(num, ((0, 0), (0, pad)))
+    codes_p = np.pad(codes, ((0, 0), (0, pad)))
+    w_p = np.pad(np.ones(len(g), np.float32), (0, pad))
+    g_p = np.pad(g, (0, pad), constant_values=-1)
     with pltpu.force_tpu_interpret_mode():
-        got = sum_to_triple_grouped_unsorted(num, codes, g, schema=schema,
-                                             num_groups=7, fast=True,
-                                             chunk_cols=512)
+        sigma = _sigma_pallas_grouped_unsorted_fast2(
+            jnp.asarray(num_p), jnp.asarray(codes_p), jnp.asarray(w_p),
+            jnp.asarray(g_p), schema=schema, num_groups=7, chunk_cols=512)
+    got = triple_from_sigma(sigma, schema.num_cols)
     ref = sum_to_triple_grouped(num, codes, g, schema=schema, num_groups=7,
                                 method="masked")
     np.testing.assert_array_equal(np.asarray(ref.n), np.asarray(got.n))

@@ -89,6 +89,80 @@ def test_sigma_pallas_fast2_oov_codes(data):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=0.3)
 
 
+def test_sigma_pallas_fast3_interpret(data):
+    """v3 compact-packed kernel (shared ones-tail, hi‖lo merged section):
+    counts exact, x-sums within split-precision tolerance; OOV and
+    negative codes contribute nothing."""
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        _sizing_fast3,
+        sigma_pallas_fast3_padded,
+    )
+    num, codes, w, schema = data
+    assert _sizing_fast3(schema)[3] == 5    # pack 5 vs v2's 4
+    codes = codes.copy()
+    codes[0, :500] = 8    # = size_0: encode() miss convention
+    codes[1, 500:900] = -1
+    n = 6000
+    num, codes, w = num[:, :n], codes[:, :n], w[:n]
+    ref = np.asarray(masked_sigma(num, codes, w, schema=schema))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sigma_pallas_fast3_padded(num, codes, w,
+                                                   schema=schema,
+                                                   chunk_cols=512))
+    assert got[0, 0] == ref[0, 0]
+    np.testing.assert_array_equal(got[0, 5:], ref[0, 5:])   # lin_cat counts
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=0.3)
+
+
+def test_sigma_pallas_fast3_shared_bins():
+    """v3 bin packing: two vocab-3 columns share one 8-row bin (guarded
+    compares), a vocab-4 column gets its own; OOV codes must not alias a
+    bin-mate's categories."""
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        _sizing_fast3,
+        sigma_pallas_fast3_padded,
+    )
+    rng = np.random.default_rng(7)
+    n = 5000
+    schema = FeatureSchema(num_cols=1, cat_keys=((0, 1, 2), (0, 1, 2),
+                                                 (0, 1, 2, 3)))
+    nseg, bins = _sizing_fast3(schema)[:2]
+    assert bins[0][1] == ((0, 0), (1, 3)) and bins[1][1] == ((2, 0),)
+    num = rng.normal(size=(1, n)).astype(np.float32)
+    codes = np.stack([rng.integers(0, 3, n), rng.integers(0, 3, n),
+                      rng.integers(0, 4, n)]).astype(np.int32)
+    codes[0, :300] = 3     # OOV in a shared bin: must NOT hit col 1's rows
+    codes[1, 300:600] = -1
+    w = (rng.random(n) > 0.4).astype(np.float32)
+    ref = np.asarray(masked_sigma(num, codes, w, schema=schema))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sigma_pallas_fast3_padded(num, codes, w,
+                                                   schema=schema,
+                                                   chunk_cols=512))
+    assert got[0, 0] == ref[0, 0]
+    np.testing.assert_array_equal(got[0, 2:], ref[0, 2:])
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=0.3)
+
+
+def test_sigma_pallas_fast3_cols(data):
+    """Per-column-ref v3 variant (the MICE loops' aggregation entry point)
+    matches the stacked kernel bit-for-bit."""
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        sigma_pallas_fast3_cols_padded,
+        sigma_pallas_fast3_padded,
+    )
+    num, codes, w, schema = data
+    n = 4000
+    num, codes, w = num[:, :n], codes[:, :n], w[:n]
+    with pltpu.force_tpu_interpret_mode():
+        a = np.asarray(sigma_pallas_fast3_padded(num, codes, w,
+                                                 schema=schema,
+                                                 chunk_cols=512))
+        b = np.asarray(sigma_pallas_fast3_cols_padded(
+            tuple(num), tuple(codes), w, schema=schema, chunk_cols=512))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_sigma_pallas_fast_padded_wide_schema_fallback():
     """A schema whose v2 segment exceeds the 128 sublanes must fall back to
     the v1 kernel through the public padded wrapper, with equal semantics."""
