@@ -465,17 +465,16 @@ def main():
         for big_n in (100_000_000, 50_000_000):
             try:
                 extras[f"mice_round_ms_{big_n // 1_000_000}M_rows"] = round(
-                    bench_mice_round(schema, n=big_n, fused=False) * 1e3, 1)
+                    bench_mice_round(schema, n=big_n) * 1e3, 1)
                 break
             except Exception as e:  # OOM headroom on a shared chip
                 log(f"{big_n // 1_000_000}M MICE config skipped: "
                     f"{str(e)[:120]}")
-        # the fused impute+aggregate loop halves the pass count but its
-        # kernel still runs the v2 layout; measured ~even at 10M and behind
-        # at 100M, so the default (unfused, v3-agg) path is the headline
-        extras["mice_round_ms_10M_rows_fused"] = round(
-            bench_mice_round(schema, fused=True) * 1e3, 1)
-    mice_round_s = bench_mice_round(schema, fused=False)
+        # the general loop (separate aggregate + predict passes; the path
+        # that also supports stochastic noise / GD), for comparison
+        extras["mice_round_ms_10M_rows_unfused"] = round(
+            bench_mice_round(schema, fused=False) * 1e3, 1)
+    mice_round_s = bench_mice_round(schema)
 
     # internal consistency: orderings that CANNOT physically hold signal a
     # broken measurement (the round-3 failure mode), not a fast kernel

@@ -315,15 +315,15 @@ def mice_loop_device_fused(x_num, codes, num_null, cat_null, *,
     otherwise identical to mice_loop_device(kernel='pallas_fast',
     trainer='solve', noise=False) up to the scoring dot's ~1e-7 relative
     split-precision error."""
-    from ..ring.kernels.sigma_fused import fused_impute_aggregate, pack_lhs
-    from ..ring.kernels.sigma_pallas import (_sizing_fast2,
-                                             sigma_pallas_fast2_cols_padded)
+    from ..ring.kernels.sigma_fused import (fused_block,
+                                            fused_impute_aggregate,
+                                            pack_lhs)
+    from ..ring.kernels.sigma_pallas import sigma_pallas_fast_cols_padded
 
     steps = ([("cat", j) for j in cat_cols_to_impute]
              + [("num", j) for j in num_cols_to_impute])
     n = num_null.shape[-1]
-    pack = _sizing_fast2(schema)[4]
-    pad = (-n) % (pack * chunk_cols)
+    pad = (-n) % fused_block(schema, chunk_cols)
     x_cols, code_cols = _to_cols(x_num, codes, schema)
     if pad:
         x_cols, code_cols, num_null, cat_null = _pad_cols_nulls(
@@ -333,7 +333,7 @@ def mice_loop_device_fused(x_num, codes, num_null, cat_null, *,
         return (cat_null if kind == "cat" else num_null)[col] \
             .astype(jnp.float32)
 
-    sigma0 = sigma_pallas_fast2_cols_padded(
+    sigma0 = sigma_pallas_fast_cols_padded(
         x_cols, code_cols, 1.0 - null_of(*steps[0]), schema=schema,
         chunk_cols=chunk_cols)
 

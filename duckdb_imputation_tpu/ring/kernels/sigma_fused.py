@@ -43,7 +43,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...schema import FeatureSchema
-from .sigma_pallas import LANES, _fast2_epilogue, _round_up, _sizing_fast2
+from .sigma_pallas import (
+    LANES,
+    _fast2_epilogue,
+    _fast3_collapse,
+    _fast3_epilogue,
+    _fast_cols_use_v3,
+    _round_up,
+    _sizing_fast2,
+    _sizing_fast3,
+)
 
 
 def _phys_map(schema: FeatureSchema):
@@ -78,7 +87,11 @@ def pack_lhs(w_full, intercept, *, schema: FeatureSchema,
     w_full: f32[P, R] coefficients in sigma-index space (R = n_classes for
     LDA, 1 for linreg; w_full[0] may carry the intercept's ones-row slot);
     intercept: f32[R] added on the ones row (z's ones row is 1 for every
-    column, including pad columns). n_rows = R."""
+    column, including pad columns). n_rows = R. Laid out for whichever
+    packed layout (v3 compact / v2) the fused kernel dispatches for this
+    schema."""
+    if _fast_cols_use_v3(schema):
+        return _pack_lhs_v3(w_full, intercept, schema=schema, n_rows=n_rows)
     t_pad, vpads, seg_e, p_seg, pack, width = _sizing_fast2(schema)
     tmat = jnp.asarray(_phys_map(schema))
     # clamp -inf intercepts (empty LDA classes) to a dominating finite
@@ -197,11 +210,241 @@ def _fused_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
         preferred_element_type=jnp.float32)
 
 
+def _pack_lhs_v3(w_full, intercept, *, schema: FeatureSchema,
+                 n_rows: int) -> jax.Array:
+    """v3-layout scoring operand: per segment k the coefficient rows are
+    w_fullᵀ·C_kᵀ (the collapse matrix already duplicates each numeric
+    sigma row onto its hi AND lo physical rows and maps the ones row to
+    tail slot k), with the intercept added on the tail column."""
+    nseg, bins, core, pack, width, tail_base, tail_rows = \
+        _sizing_fast3(schema)
+    C = jnp.asarray(_fast3_collapse(schema))           # [pack, width, P]
+    icpt = jnp.maximum(jnp.asarray(intercept, jnp.float32), -1e30)
+    w = jnp.asarray(w_full, jnp.float32)               # [P, R]
+    l_pad = _round_up(pack * n_rows, 8)
+    lhs = jnp.zeros((l_pad, width), jnp.float32)
+    for k in range(pack):
+        seg = (C[k] @ w).T                             # [R, width]
+        seg = seg.at[:, tail_base + k].add(icpt)
+        lhs = jax.lax.dynamic_update_slice(lhs, seg, (k * n_rows, 0))
+    hi = lhs.astype(jnp.bfloat16)
+    lo = (lhs - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=0)           # [2·l_pad, width]
+
+
+def _fused3_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
+                   n_rows: int, nseg: int, bins, core: int, pack: int,
+                   chunk: int, width: int, tail_base: int, tail_rows: int):
+    """v3-layout fused impute+aggregate body. Same 4 phases as
+    _fused_kernel, at the compact packing's MXU cost; the class argmax
+    runs as full-height sublane reductions (max + first-match index)
+    instead of a per-class [1, chunk] row loop."""
+    d, c = schema.num_cols, schema.cat_cols
+    x_refs = refs[:d]
+    c_refs = refs[d:d + c]
+    null_ref = refs[d + c]
+    w_ref = refs[d + c + 1]
+    lhs_ref = refs[d + c + 2]
+    col_ref = refs[d + c + 3]
+    gram_ref = refs[d + c + 4]
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        gram_ref[:] = jnp.zeros_like(gram_ref)
+
+    sizes = schema.cat_sizes
+    qn = (jax.lax.broadcasted_iota(jnp.int32, (nseg, 1), 0) if nseg
+          else None)
+    l_pad = lhs_ref.shape[0] // 2
+
+    def roll_resid(hi):
+        lo = hi - hi.astype(jnp.bfloat16).astype(jnp.float32)
+        return hi + pltpu.roll(lo, shift=d, axis=0)
+
+    def build_bin(cols, code_of, sl):
+        rows = cols[0]
+        col_list = cols[1]
+        qb = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        acc = None
+        for j, off in col_list:
+            cj = code_of(j, sl)
+            if len(col_list) == 1:
+                hit = (qb == cj).astype(jnp.float32)
+            else:
+                cadj = jnp.where((cj >= 0) & (cj < sizes[j]), cj + off, -1)
+                hit = (qb == cadj).astype(jnp.float32)
+            acc = hit if acc is None else acc + hit
+        return acc
+
+    def code_raw(j, sl):
+        return c_refs[j][0, sl][None, :]
+
+    # ---- build UNWEIGHTED pieces: per segment [hi?, bin_0, bin_1, ...]
+    pieces = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        seg = []
+        if nseg:
+            hi = (qn == 0).astype(jnp.float32) * x_refs[0][0, sl][None, :]
+            for j in range(1, d):
+                hi = hi + (qn == j).astype(jnp.float32) \
+                    * x_refs[j][0, sl][None, :]
+            seg.append(hi)
+        for b in bins:
+            seg.append(build_bin(b, code_raw, sl))
+        pieces.append(seg)
+
+    qt = jax.lax.broadcasted_iota(jnp.int32, (tail_rows, 1), 0)
+    ones_tail = jnp.broadcast_to((qt < pack).astype(jnp.float32),
+                                 (tail_rows, chunk))
+
+    def packed(segs_per_k, tail):
+        flat = []
+        for seg in segs_per_k:
+            if nseg:
+                flat.append(roll_resid(seg[0]))
+                flat.extend(seg[1:])
+            else:
+                flat.extend(seg)
+        flat.append(tail)
+        if tail_base + tail_rows < width:
+            flat.append(jnp.zeros((width - tail_base - tail_rows, chunk),
+                                  jnp.float32))
+        return jnp.concatenate(flat, axis=0).astype(jnp.bfloat16)
+
+    zb = packed(pieces, ones_tail)
+
+    # ---- score the previous column's model: one skinny dot ----
+    raw = jax.lax.dot_general(
+        lhs_ref[:, :], zb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [2·l_pad, chunk]
+    s = raw[:l_pad] + raw[l_pad:]
+
+    # ---- impute + substitute the imputed section ----
+    bin_of = None
+    if kind == "cat":
+        bin_of = next(i for i, b in enumerate(bins)
+                      if any(j == imp_col for j, _ in b[1]))
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        nullm = null_ref[0, sl][None, :] > 0.0
+        if kind == "cat":
+            sb = s[k * n_rows:(k + 1) * n_rows]          # [n_rows, chunk]
+            qi = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+            mx = jnp.max(sb, axis=0, keepdims=True)
+            idx = jnp.min(jnp.where(sb >= mx, qi, n_rows), axis=0,
+                          keepdims=True)                 # first max (ties)
+            old = c_refs[imp_col][0, sl][None, :]
+            new = jnp.where(nullm, idx, old)
+            col_ref[0, sl] = new[0]
+
+            def code_new(j, sl=sl, new=new):
+                return new if j == imp_col else code_raw(j, sl)
+            sec = (1 if nseg else 0) + bin_of
+            pieces[k][sec] = build_bin(bins[bin_of], code_new, sl)
+        else:
+            pred = s[k * n_rows][None, :]
+            old = x_refs[imp_col][0, sl][None, :]
+            new = jnp.where(nullm, pred, old)
+            col_ref[0, sl] = new[0]
+            pieces[k][0] = pieces[k][0] \
+                + (qn == imp_col).astype(jnp.float32) * (new - old)
+
+    # ---- weighted Gram for the NEXT column's sigma ----
+    wsegs = []
+    for k in range(pack):
+        sl = pl.ds(k * chunk, chunk)
+        wrow = w_ref[0, sl][None, :]
+        wsegs.append([p * wrow for p in pieces[k]])
+    wtail = w_ref[0, :pack * chunk].reshape(pack, chunk)
+    if tail_rows > pack:
+        wtail = jnp.concatenate(
+            [wtail, jnp.zeros((tail_rows - pack, chunk), jnp.float32)],
+            axis=0)
+    arr = packed(wsegs, wtail)
+    gram_ref[:] += jax.lax.dot_general(
+        arr, arr, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("schema", "kind", "imp_col",
                                              "n_rows", "chunk_cols"))
+def _fused_impute_aggregate_v3(x_cols, code_cols, null_imp, w_agg, lhs, *,
+                               schema: FeatureSchema, kind: str,
+                               imp_col: int, n_rows: int,
+                               chunk_cols: int = 8192):
+    d, c = schema.num_cols, schema.cat_cols
+    assert len(x_cols) == d and len(code_cols) == c
+    n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
+    nseg, bins, core, pack, width, tail_base, tail_rows = \
+        _sizing_fast3(schema)
+    block = pack * chunk_cols
+    assert n % block == 0, (n, block)
+
+    row_spec = pl.BlockSpec((1, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    ins = ([jnp.asarray(xc, jnp.float32).reshape(1, n) for xc in x_cols]
+           + [jnp.asarray(cc, jnp.int32).reshape(1, n) for cc in code_cols]
+           + [jnp.asarray(null_imp, jnp.float32).reshape(1, n),
+              jnp.asarray(w_agg, jnp.float32).reshape(1, n),
+              jnp.asarray(lhs, jnp.bfloat16)])
+    col_dtype = jnp.int32 if kind == "cat" else jnp.float32
+    new_col, gram = pl.pallas_call(
+        functools.partial(_fused3_kernel, schema=schema, kind=kind,
+                          imp_col=imp_col, n_rows=n_rows, nseg=nseg,
+                          bins=bins, core=core, pack=pack, chunk=chunk_cols,
+                          width=width, tail_base=tail_base,
+                          tail_rows=tail_rows),
+        grid=(n // block,),
+        in_specs=[row_spec] * (d + c + 2)
+        + [pl.BlockSpec((lhs.shape[0], width), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, width), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n), col_dtype),
+            jax.ShapeDtypeStruct((width, width), jnp.float32),
+        ),
+    )(*ins)
+    return new_col[0], _fast3_epilogue(gram, schema)
+
+
+def fused_block(schema: FeatureSchema, chunk_cols: int = 8192) -> int:
+    """Row granule of the dispatched fused kernel."""
+    pack = (_sizing_fast3(schema)[3] if _fast_cols_use_v3(schema)
+            else _sizing_fast2(schema)[4])
+    return pack * chunk_cols
+
+
 def fused_impute_aggregate(x_cols, code_cols, null_imp, w_agg, lhs, *,
                            schema: FeatureSchema, kind: str, imp_col: int,
                            n_rows: int, chunk_cols: int = 8192):
+    """One fused pass: impute column `imp_col` of `kind` from the scoring
+    operand `lhs` (pack_lhs), then aggregate the masked sigma with weights
+    `w_agg` over the UPDATED table. Returns (new_column [n], sigma [P, P]).
+    Dispatches the v3 compact layout where it wins (pack_lhs made the
+    matching choice)."""
+    if _fast_cols_use_v3(schema):
+        return _fused_impute_aggregate_v3(
+            x_cols, code_cols, null_imp, w_agg, lhs, schema=schema,
+            kind=kind, imp_col=imp_col, n_rows=n_rows,
+            chunk_cols=chunk_cols)
+    return _fused_impute_aggregate_v2(
+        x_cols, code_cols, null_imp, w_agg, lhs, schema=schema, kind=kind,
+        imp_col=imp_col, n_rows=n_rows, chunk_cols=chunk_cols)
+
+
+@functools.partial(jax.jit, static_argnames=("schema", "kind", "imp_col",
+                                             "n_rows", "chunk_cols"))
+def _fused_impute_aggregate_v2(x_cols, code_cols, null_imp, w_agg, lhs, *,
+                               schema: FeatureSchema, kind: str,
+                               imp_col: int, n_rows: int,
+                               chunk_cols: int = 8192):
     """One fused pass: impute column `imp_col` of `kind` from the scoring
     operand `lhs` (pack_lhs), then aggregate the masked sigma with weights
     `w_agg` over the UPDATED table. Returns (new_column [n], sigma [P, P]).
