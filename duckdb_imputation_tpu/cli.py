@@ -34,10 +34,22 @@ def cmd_impute(args):
 
     t = read_csv(args.csv)
     timer = PhaseTimer(verbose=args.verbose)
-    runner = {"baseline": run_mice_baseline, "low": run_mice_low,
-              "high": run_mice_high}[args.mode]
-    out = runner(t, iters=args.iters, noise=not args.no_noise, timer=timer,
-                 linreg_iters=args.linreg_iters)
+    if args.mode in ("device", "fused"):
+        # the single-dispatch on-device loop (whole MICE run = one XLA
+        # program); 'fused' chains the impute+aggregate Pallas kernel
+        # (2 table passes per round, deterministic solve-only)
+        from .mice.device_round import run_mice_device
+
+        with timer.phase("mice_device"):
+            out = run_mice_device(
+                t, iters=args.iters,
+                noise=(not args.no_noise) and args.mode == "device",
+                kernel="pallas_fused" if args.mode == "fused" else "auto")
+    else:
+        runner = {"baseline": run_mice_baseline, "low": run_mice_low,
+                  "high": run_mice_high}[args.mode]
+        out = runner(t, iters=args.iters, noise=not args.no_noise,
+                     timer=timer, linreg_iters=args.linreg_iters)
     print(timer.report(), file=sys.stderr)
 
     num = np.asarray(out.num_data)
@@ -341,11 +353,17 @@ def main(argv=None):
     p = sub.add_parser("impute", help="MICE-impute a CSV")
     p.add_argument("csv")
     p.add_argument("--out", default="imputed.csv")
-    p.add_argument("--mode", choices=["baseline", "low", "high", "stream"],
+    p.add_argument("--mode",
+                   choices=["baseline", "low", "high", "stream", "device",
+                            "fused"],
                    default="low",
                    help="stream = out-of-core: chunked two-pass streaming "
                         "aggregation + delta rounds over the dirty cache; "
-                        "the file is never resident")
+                        "the file is never resident. device = the whole "
+                        "loop as ONE dispatch (single-chip production "
+                        "path); fused = device loop via the fused "
+                        "impute+aggregate kernel (2 table passes/round, "
+                        "deterministic)")
     p.add_argument("--block-mb", type=int, default=64,
                    help="streamed block size (stream mode)")
     p.add_argument("--dirty-budget-rows", type=int, default=None,

@@ -39,6 +39,41 @@ def test_cli_impute_roundtrip(tmp_path):
     assert rmse < 0.2, rmse
 
 
+def test_cli_impute_device_mode(tmp_path):
+    """--mode device: the whole MICE loop as one dispatch (kernel='auto'
+    resolves to the XLA path on this CPU backend; the Pallas/fused kernels
+    are covered by test_kernels.py in interpret mode)."""
+    import numpy as np
+    rng = np.random.default_rng(1)
+    n = 300
+    z = rng.normal(size=n)
+    a = z.astype(np.float32)
+    b = (2 * z + 0.01 * rng.normal(size=n)).astype(np.float32)
+    c = (z > 0).astype(int)
+    null = np.zeros(n, bool)
+    null[rng.choice(n, n // 5, replace=False)] = True
+    src = tmp_path / "in.csv"
+    with open(src, "w") as f:
+        f.write("a,b,c\n")
+        for i in range(n):
+            bv = "" if null[i] else f"{b[i]:.6g}"
+            f.write(f"{a[i]:.6g},{bv},{c[i]}\n")
+    out = tmp_path / "out.csv"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "import sys; from duckdb_imputation_tpu.cli import main;"
+         f"sys.argv=['cli','impute',{str(src)!r},'--out',{str(out)!r},"
+         "'--mode','device','--iters','2','--no-noise'];main()"],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = open(out).read().strip().splitlines()
+    assert len(lines) == n + 1
+    got_b = np.asarray([float(l.split(",")[1]) for l in lines[1:]])
+    rmse = float(np.sqrt(np.mean((got_b[null] - b[null]) ** 2)))
+    assert rmse < 0.2, rmse
+
+
 def _train_predict(tmp_path, model, label, train_csv, test_csv, extra=(),
                    parse=float):
     bundle = tmp_path / f"{model}.npz"

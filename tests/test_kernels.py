@@ -163,6 +163,49 @@ def test_sigma_pallas_fast3_cols(data):
     np.testing.assert_array_equal(a, b)
 
 
+def test_fast3_sizing_and_collapse_invariants():
+    """Pure-layout property fuzz over random schemas: the v3 sizing always
+    produces an 8-aligned, in-bounds packing, and the collapse matrix maps
+    exactly {tail → ones row, hi+lo → numeric rows, bin rows → cat slots}
+    within each segment."""
+    import itertools
+    import random
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        _fast3_collapse,
+        _sizing_fast3,
+    )
+    rnd = random.Random(11)
+    schemas = [FeatureSchema(num_cols=d, cat_keys=tuple(
+        tuple(range(rnd.randint(2, 12))) for _ in range(c)))
+        for d, c in itertools.product((0, 1, 4, 7, 9), (0, 1, 3, 5))
+        if d or c]
+    for schema in schemas:
+        nseg, bins, core, pack, width, tail_base, tail_rows = \
+            _sizing_fast3(schema)
+        d = schema.num_cols
+        assert core % 8 == 0 and pack >= 1 and tail_rows >= pack
+        assert tail_base == pack * core
+        assert tail_base + tail_rows <= width and width % 128 == 0
+        # each cat col placed exactly once, offsets disjoint within bins
+        placed = [j for _, cols in bins for j, _ in cols]
+        assert sorted(placed) == list(range(schema.cat_cols))
+        for rows, cols in bins:
+            spans = sorted((off, off + len(schema.cat_keys[j]))
+                           for j, off in cols)
+            assert spans[-1][1] <= rows
+            assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+        C = _fast3_collapse(schema)
+        assert C.shape == (pack, width, schema.sigma_size)
+        for k in range(pack):
+            colsum = C[k].sum(axis=0)
+            assert colsum[0] == 1.0                      # ones ← tail only
+            assert (colsum[1:1 + d] == 2.0).all()        # hi + lo
+            assert (colsum[1 + d:] == 1.0).all()         # one hot row each
+            rows_used = np.nonzero(C[k].any(axis=1))[0]
+            seg = set(range(k * core, (k + 1) * core)) | {tail_base + k}
+            assert set(rows_used.tolist()) <= seg
+
+
 def test_sigma_pallas_fast_padded_wide_schema_fallback():
     """A schema whose v2 segment exceeds the 128 sublanes must fall back to
     the v1 kernel through the public padded wrapper, with equal semantics."""
