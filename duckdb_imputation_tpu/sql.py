@@ -126,8 +126,9 @@ _KEYWORDS = {
     "asc", "desc", "limit", "create", "table", "as", "insert", "into",
     "values", "drop", "if", "exists", "alter", "column", "set", "default",
     "case", "when", "then", "else", "end", "and", "or", "not", "null",
-    "true", "false", "is", "join", "inner", "left", "cross", "on", "using",
-    "cast", "view", "add", "between", "in", "offset", "update", "delete",
+    "true", "false", "is", "join", "inner", "left", "outer", "cross", "on",
+    "using", "cast", "view", "add", "between", "in", "offset", "update",
+    "delete",
 }
 
 
@@ -367,6 +368,10 @@ class _Parser:
             if self.eat_kw("inner"):
                 self.expect_kw("join")
                 jtype = "inner"
+            elif self.eat_kw("left"):
+                self.eat_kw("outer")
+                self.expect_kw("join")
+                jtype = "left"
             elif self.eat_kw("cross"):
                 self.expect_kw("join")
                 jtype = "cross"
@@ -1166,7 +1171,28 @@ class Connection:
                 + [c.take(ri) for c in right.cols])
             if on is not None and on != ("lit", True):
                 mask = _truthy(self._eval(on, joined))
-                joined = joined.take(np.flatnonzero(mask))
+                keep = np.flatnonzero(mask)
+                li, ri = li[keep], ri[keep]
+                joined = joined.take(keep)
+            if jtype == "left":
+                # unmatched left rows survive with NULLs on the right side
+                # (standard LEFT OUTER semantics: the ON/USING predicate
+                # decides matching, not row survival)
+                matched = np.zeros(left.n, bool)
+                matched[li] = True
+                un = np.flatnonzero(~matched)
+                if len(un):
+                    cols = [Column(np.concatenate([c.data[li], c.data[un]]),
+                                   np.concatenate([c.null[li], c.null[un]]),
+                                   c.kind) for c in left.cols]
+                    for c in right.cols:
+                        pad = _null_to(c.kind, len(un))
+                        cols.append(Column(
+                            np.concatenate([c.data[ri], pad.data]),
+                            np.concatenate([c.null[ri], pad.null]),
+                            c.kind))
+                    joined = Relation(list(left.names) + list(right.names),
+                                      cols)
             return joined
         raise SQLError(f"unhandled FROM {kind}")
 

@@ -256,11 +256,12 @@ def _make_query(rng):
         if rng.random() < 0.5:
             q += f" HAVING {_having(rng, T1_NUM)}"
         return q
-    if shape < 11:                    # inner join with qualified columns
+    if shape < 11:                    # inner/LEFT join with qualified cols
         cols = ["t1.a", "t1.b", "t1.c", "t2.v", "t2.w"]
         items = ", ".join(_num_expr(rng, cols, 2)
                           for _ in range(rng.randrange(1, 3)))
-        q = f"SELECT {items} FROM t1 JOIN t2 ON t1.d = t2.w"
+        jkw = rng.choice(["JOIN", "LEFT JOIN", "LEFT OUTER JOIN"])
+        q = f"SELECT {items} FROM t1 {jkw} t2 ON t1.d = t2.w"
         if rng.random() < 0.6:
             q += f" WHERE {_bool_expr(rng, cols, 2, scol='t1.s')}"
         return q
@@ -277,11 +278,13 @@ def _make_query(rng):
         if rng.random() < 0.5:
             q += f" WHERE {_bool_expr(rng, cols, 2)}"
         return q
-    # join + GROUP BY + aggregates [+ HAVING]
+    # join + GROUP BY + aggregates [+ HAVING]; LEFT variant groups the
+    # unmatched rows' NULL key into its own group (sqlite semantics)
     cols = ["t1.a", "t1.b", "t2.v"]
     items = ", ".join(["t2.w", "COUNT(*)"]
                       + [_agg_expr(rng, cols) for _ in range(2)])
-    q = f"SELECT {items} FROM t1 JOIN t2 ON t1.d = t2.w"
+    jkw = rng.choice(["JOIN", "LEFT JOIN"])
+    q = f"SELECT {items} FROM t1 {jkw} t2 ON t1.d = t2.w"
     if rng.random() < 0.5:
         q += f" WHERE {_bool_expr(rng, cols, 2)}"
     q += " GROUP BY t2.w"
