@@ -42,8 +42,7 @@ def cmd_impute(args):
 
         with timer.phase("mice_device"):
             out = run_mice_device(
-                t, iters=args.iters,
-                noise=(not args.no_noise) and args.mode == "device",
+                t, iters=args.iters, noise=not args.no_noise,
                 kernel="pallas_fused" if args.mode == "fused" else "auto")
     else:
         runner = {"baseline": run_mice_baseline, "low": run_mice_low,

@@ -297,24 +297,27 @@ def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "lda_shrinkage", "chunk_cols"),
+                     "lda_shrinkage", "chunk_cols", "noise"),
     donate_argnames=("x_num", "codes"))
-def mice_loop_device_fused(x_num, codes, num_null, cat_null, *,
+def mice_loop_device_fused(x_num, codes, num_null, cat_null, key=None, *,
                            schema: FeatureSchema,
                            num_cols_to_impute: tuple[int, ...],
                            cat_cols_to_impute: tuple[int, ...],
                            iters, lda_shrinkage: float = 0.001,
-                           chunk_cols: int = 8192):
+                           chunk_cols: int = 8192, noise: bool = False):
     """The MICE loop as a chain of FUSED impute+aggregate passes
     (ring.kernels.sigma_fused): after one plain aggregation for the first
     column, every kernel call imputes the previous column AND produces the
     next column's masked sigma in the same pass over the table — 2 passes
     per round at 2 null columns instead of 4 (aggregate + predict each).
-    Deterministic only (no stochastic-regression noise: the fused predict
-    is a pure MXU scoring dot); trainer is the direct solve. Semantics
-    otherwise identical to mice_loop_device(kernel='pallas_fast',
-    trainer='solve', noise=False) up to the scoring dot's ~1e-7 relative
-    split-precision error."""
+    Trainer is the direct solve. Semantics otherwise identical to
+    mice_loop_device(kernel='pallas_fast', trainer='solve') up to the
+    scoring dot's ~1e-7 relative split-precision error.
+
+    noise=True: stochastic-regression imputation with the noise drawn
+    IN-KERNEL (Box-Muller from the Pallas PRNG, seeded per (round,
+    column) from `key` — reproducible given the seed, but a DIFFERENT
+    stream than the unfused loop's global-row-index counter draws)."""
     from ..ring.kernels.sigma_fused import (fused_block,
                                             fused_impute_aggregate,
                                             pack_lhs)
@@ -360,13 +363,30 @@ def mice_loop_device_fused(x_num, codes, num_null, cat_null, *,
                     col + 1, coeff.shape[0], dtype=coeff.dtype))
                 lhs = pack_lhs(theta[:, None], jnp.zeros((1,)),
                                schema=schema, n_rows=1)
+                seed = std = None
+                if noise:
+                    theta_full = coeff.at[col + 1].set(-1.0)
+                    var = (theta_full @ sigma @ theta_full
+                           / jnp.maximum(sigma[0, 0], 1.0))
+                    std = jnp.sqrt(jnp.maximum(var, 0.0))
+                    # integer hash of (key, round, column) — NOT threefry:
+                    # a scalar fold_in/randint inside the round loop was
+                    # measured taking ~200 s PER CALL on this TPU runtime
+                    # (the kernel's own PRNG does the real bit mixing)
+                    seed = (seed_base
+                            ^ (r * jnp.int32(-1640531527))   # 0x9E3779B1
+                            ^ jnp.int32(col * 40503 + 19))
                 new, sigma = fused_impute_aggregate(
                     x_cols, code_cols, null_of(kind, col), w_next, lhs,
                     schema=schema, kind="num", imp_col=col, n_rows=1,
-                    chunk_cols=chunk_cols)
+                    chunk_cols=chunk_cols, noise_seed=seed, noise_std=std)
                 x_cols = x_cols[:col] + (new,) + x_cols[col + 1:]
         return x_cols, code_cols, sigma
 
+    if noise and key is None:
+        raise ValueError("noise=True requires a PRNG key")
+    seed_base = (jnp.asarray(jax.random.key_data(key), jnp.uint32)[-1]
+                 .astype(jnp.int32) if noise else None)
     x_cols, code_cols, _ = jax.lax.fori_loop(
         0, iters, body, (x_cols, code_cols, sigma0))
     if pad:
@@ -400,15 +420,15 @@ def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
                   if (jax.default_backend() not in ("cpu",)
                       and t.n_rows >= (1 << 20)) else "xla")
     if kernel == "pallas_fused":
-        if noise or trainer != "solve":
+        if trainer != "solve":
             raise ValueError("the fused impute+aggregate loop is "
-                             "deterministic solve-only; use "
-                             "kernel='pallas_fast' for noise/GD")
+                             "solve-only; use kernel='pallas_fast' for GD")
         x, c = mice_loop_device_fused(
             t.num_data, t.cat_codes, t.num_null, t.cat_null,
+            jax.random.PRNGKey(seed) if noise else None,
             schema=schema, num_cols_to_impute=tuple(num_null_cols),
             cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
-            lda_shrinkage=lda_shrinkage)
+            lda_shrinkage=lda_shrinkage, noise=noise)
         return dataclasses.replace(t, num_data=x, cat_codes=c)
     x, c, _ = mice_loop_device(
         t.num_data, t.cat_codes, t.num_null, t.cat_null,

@@ -234,19 +234,30 @@ def _pack_lhs_v3(w_full, intercept, *, schema: FeatureSchema,
 
 def _fused3_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
                    n_rows: int, nseg: int, bins, core: int, pack: int,
-                   chunk: int, width: int, tail_base: int, tail_rows: int):
+                   chunk: int, width: int, tail_base: int, tail_rows: int,
+                   noise: bool = False):
     """v3-layout fused impute+aggregate body. Same 4 phases as
     _fused_kernel, at the compact packing's MXU cost; the class argmax
     runs as full-height sublane reductions (max + first-match index)
-    instead of a per-class [1, chunk] row loop."""
+    instead of a per-class [1, chunk] row loop.
+
+    noise=True (numeric columns): stochastic-regression imputation — the
+    prediction gains std·z with z ~ N(0,1) drawn IN-KERNEL from the
+    per-core PRNG via Box-Muller (the reference's regression.cpp:493-504
+    noise, its /dev/urandom seed replaced by a per-(round, column) seed +
+    the grid step, so a run is reproducible given its seed). Stream note:
+    these draws are keyed by (seed, block, lane), not by global row index
+    like the unfused loop's counter-based _row_noise — the two paths'
+    noise STREAMS differ while both match the reference's distribution."""
     d, c = schema.num_cols, schema.cat_cols
     x_refs = refs[:d]
     c_refs = refs[d:d + c]
     null_ref = refs[d + c]
     w_ref = refs[d + c + 1]
     lhs_ref = refs[d + c + 2]
-    col_ref = refs[d + c + 3]
-    gram_ref = refs[d + c + 4]
+    extra = refs[d + c + 3:d + c + 5] if noise else ()
+    col_ref = refs[d + c + 3 + len(extra)]
+    gram_ref = refs[d + c + 4 + len(extra)]
     step = pl.program_id(0)
 
     @pl.when(step == 0)
@@ -322,6 +333,21 @@ def _fused3_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
     s = raw[:l_pad] + raw[l_pad:]
 
     # ---- impute + substitute the imputed section ----
+    znoise = None
+    if noise and kind == "num":
+        seed_ref, std_ref = extra
+        pltpu.prng_seed(seed_ref[0] + step)
+
+        def unit(bits):
+            # random bits → (0, 1]: 24 low bits as a positive int32
+            # (Mosaic has no uint32→f32 cast), never exactly 0
+            i = pltpu.bitcast(bits, jnp.int32)
+            return (((i >> 8) & 0xFFFFFF).astype(jnp.float32) + 1.0) \
+                * (2.0 ** -24)
+        u1 = unit(pltpu.prng_random_bits((pack, chunk)))
+        u2 = unit(pltpu.prng_random_bits((pack, chunk)))
+        znoise = jnp.sqrt(-2.0 * jnp.log(u1)) \
+            * jnp.cos((2.0 * np.pi) * u2) * std_ref[0]
     bin_of = None
     if kind == "cat":
         bin_of = next(i for i, b in enumerate(bins)
@@ -345,6 +371,8 @@ def _fused3_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
             pieces[k][sec] = build_bin(bins[bin_of], code_new, sl)
         else:
             pred = s[k * n_rows][None, :]
+            if znoise is not None:
+                pred = pred + znoise[k:k + 1]
             old = x_refs[imp_col][0, sl][None, :]
             new = jnp.where(nullm, pred, old)
             col_ref[0, sl] = new[0]
@@ -373,7 +401,8 @@ def _fused3_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
 def _fused_impute_aggregate_v3(x_cols, code_cols, null_imp, w_agg, lhs, *,
                                schema: FeatureSchema, kind: str,
                                imp_col: int, n_rows: int,
-                               chunk_cols: int = 8192):
+                               chunk_cols: int = 8192,
+                               noise_seed=None, noise_std=None):
     d, c = schema.num_cols, schema.cat_cols
     assert len(x_cols) == d and len(code_cols) == c
     n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
@@ -381,6 +410,7 @@ def _fused_impute_aggregate_v3(x_cols, code_cols, null_imp, w_agg, lhs, *,
         _sizing_fast3(schema)
     block = pack * chunk_cols
     assert n % block == 0, (n, block)
+    noise = noise_seed is not None and kind == "num"
 
     row_spec = pl.BlockSpec((1, block), lambda i: (0, i),
                             memory_space=pltpu.VMEM)
@@ -389,17 +419,22 @@ def _fused_impute_aggregate_v3(x_cols, code_cols, null_imp, w_agg, lhs, *,
            + [jnp.asarray(null_imp, jnp.float32).reshape(1, n),
               jnp.asarray(w_agg, jnp.float32).reshape(1, n),
               jnp.asarray(lhs, jnp.bfloat16)])
+    specs = [row_spec] * (d + c + 2) \
+        + [pl.BlockSpec((lhs.shape[0], width), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)]
+    if noise:
+        ins += [jnp.asarray(noise_seed, jnp.int32).reshape(1),
+                jnp.asarray(noise_std, jnp.float32).reshape(1)]
+        specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
     col_dtype = jnp.int32 if kind == "cat" else jnp.float32
     new_col, gram = pl.pallas_call(
         functools.partial(_fused3_kernel, schema=schema, kind=kind,
                           imp_col=imp_col, n_rows=n_rows, nseg=nseg,
                           bins=bins, core=core, pack=pack, chunk=chunk_cols,
                           width=width, tail_base=tail_base,
-                          tail_rows=tail_rows),
+                          tail_rows=tail_rows, noise=noise),
         grid=(n // block,),
-        in_specs=[row_spec] * (d + c + 2)
-        + [pl.BlockSpec((lhs.shape[0], width), lambda i: (0, 0),
-                        memory_space=pltpu.VMEM)],
+        in_specs=specs,
         out_specs=(
             pl.BlockSpec((1, block), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -423,17 +458,24 @@ def fused_block(schema: FeatureSchema, chunk_cols: int = 8192) -> int:
 
 def fused_impute_aggregate(x_cols, code_cols, null_imp, w_agg, lhs, *,
                            schema: FeatureSchema, kind: str, imp_col: int,
-                           n_rows: int, chunk_cols: int = 8192):
+                           n_rows: int, chunk_cols: int = 8192,
+                           noise_seed=None, noise_std=None):
     """One fused pass: impute column `imp_col` of `kind` from the scoring
     operand `lhs` (pack_lhs), then aggregate the masked sigma with weights
     `w_agg` over the UPDATED table. Returns (new_column [n], sigma [P, P]).
     Dispatches the v3 compact layout where it wins (pack_lhs made the
-    matching choice)."""
+    matching choice). noise_seed/noise_std (numeric columns): stochastic-
+    regression noise drawn in-kernel (v3 only)."""
     if _fast_cols_use_v3(schema):
         return _fused_impute_aggregate_v3(
             x_cols, code_cols, null_imp, w_agg, lhs, schema=schema,
             kind=kind, imp_col=imp_col, n_rows=n_rows,
-            chunk_cols=chunk_cols)
+            chunk_cols=chunk_cols, noise_seed=noise_seed,
+            noise_std=noise_std)
+    if noise_seed is not None:
+        raise ValueError("in-kernel stochastic noise requires the v3 "
+                         "fused layout; use the unfused loop for this "
+                         "schema")
     return _fused_impute_aggregate_v2(
         x_cols, code_cols, null_imp, w_agg, lhs, schema=schema, kind=kind,
         imp_col=imp_col, n_rows=n_rows, chunk_cols=chunk_cols)

@@ -163,6 +163,51 @@ def test_sigma_pallas_fast3_cols(data):
     np.testing.assert_array_equal(a, b)
 
 
+def test_fused_noise_draws():
+    """In-kernel stochastic-regression noise (v3 fused kernel): draws land
+    ONLY on null cells and scale with std. Interpret-mode's PRNG returns
+    constant bits (all draws equal), so seed-sensitivity and the N(0, std)
+    distribution are asserted on real hardware by tpu_checks.py
+    (check_fused_noise); here we pin the masking/plumbing."""
+    import jax.numpy as jnp
+    from duckdb_imputation_tpu.ring.kernels.sigma_fused import (
+        fused_impute_aggregate, pack_lhs)
+
+    rng = np.random.default_rng(31)
+    schema = FeatureSchema(num_cols=2, cat_keys=((0, 1, 2),))
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import \
+        _sizing_fast3
+    pack = _sizing_fast3(schema)[3]
+    chunk = 512
+    n = pack * chunk
+    x_cols = tuple(jnp.asarray(rng.normal(size=n), jnp.float32)
+                   for _ in range(2))
+    code_cols = (jnp.asarray(rng.integers(0, 3, n), jnp.int32),)
+    null_imp = jnp.asarray(rng.random(n) < 0.2, jnp.float32)
+    w = jnp.ones((n,), jnp.float32)
+    theta = jnp.zeros((schema.sigma_size,), jnp.float32).at[0].set(0.25)
+    lhs = pack_lhs(theta[:, None], jnp.zeros((1,)), schema=schema, n_rows=1)
+
+    def run(seed, std):
+        with pltpu.force_tpu_interpret_mode():
+            new, _ = fused_impute_aggregate(
+                x_cols, code_cols, null_imp, w, lhs, schema=schema,
+                kind="num", imp_col=1, n_rows=1, chunk_cols=chunk,
+                noise_seed=jnp.int32(seed), noise_std=jnp.float32(std))
+        return np.asarray(new)
+
+    base = run(123, 0.0)       # zero std == deterministic prediction
+    a = run(123, 2.0)
+    b = run(123, 2.0)
+    m = np.asarray(null_imp) > 0
+    # observed cells untouched by noise; draws deterministic per seed
+    np.testing.assert_array_equal(a[~m], np.asarray(x_cols[1])[~m])
+    np.testing.assert_array_equal(base[~m], np.asarray(x_cols[1])[~m])
+    np.testing.assert_array_equal(a, b)
+    # every null cell moved by std * z (interpret z is a nonzero constant)
+    assert (np.abs(a[m] - base[m]) > 0).all()
+
+
 def test_fast3_sizing_and_collapse_invariants():
     """Pure-layout property fuzz over random schemas: the v3 sizing always
     produces an 8-aligned, in-bounds packing, and the collapse matrix maps

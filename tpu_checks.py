@@ -174,6 +174,61 @@ def check_fused_mice():
     return 1
 
 
+def check_fused_noise():
+    """Stochastic-regression noise drawn in-kernel (Box-Muller from the
+    Pallas PRNG): N(0, std) moments, per-seed determinism, seed
+    sensitivity. Interpret mode cannot test this (its prng_random_bits is
+    constant), so it lives here."""
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_imputation_tpu import FeatureSchema
+    from duckdb_imputation_tpu.mice.device_round import \
+        mice_loop_device_fused
+
+    schema = FeatureSchema(num_cols=4,
+                           cat_keys=(tuple(range(8)), tuple(range(8))))
+    n = 200_000
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    z0 = jax.random.normal(ks[0], (n,))
+    eps = jax.random.normal(ks[5], (n,))
+    x = jnp.stack([z0, 2 * z0 + 0.5 * eps,
+                   jax.random.normal(ks[1], (n,)),
+                   jax.random.normal(ks[2], (n,))])
+    c0 = jnp.clip(z0 + 4.0, 0, 7).astype(jnp.int32)
+    c = jnp.stack([c0, jax.random.randint(ks[3], (n,), 0, 8)]).astype(
+        jnp.int32)
+    nn = jnp.zeros((4, n), bool).at[1].set(
+        jax.random.uniform(ks[4], (n,)) < 0.2)
+    cn = jnp.zeros((2, n), bool).at[0].set(
+        jax.random.uniform(ks[0], (n,)) < 0.2)
+    kw = dict(schema=schema, num_cols_to_impute=(1,),
+              cat_cols_to_impute=(0,), iters=jnp.int32(2))
+    xn, _ = mice_loop_device_fused(x + 0.0, c + 0, nn, cn, **kw)
+    xa, _ = mice_loop_device_fused(x + 0.0, c + 0, nn, cn, key,
+                                   noise=True, **kw)
+    xb, _ = mice_loop_device_fused(x + 0.0, c + 0, nn, cn, key,
+                                   noise=True, **kw)
+    xc, _ = mice_loop_device_fused(x + 0.0, c + 0, nn, cn,
+                                   jax.random.PRNGKey(7), noise=True, **kw)
+    xn, xa, xb, xc = map(np.asarray, (xn, xa, xb, xc))
+    m = np.asarray(nn[1])
+    assert np.array_equal(xa, xb), "same-seed determinism broken"
+    assert not np.array_equal(xa[1][m], xc[1][m]), "seed has no effect"
+    d = xa[1][m] - xn[1][m]            # pure noise draws, same solve path
+    z = d / max(d.std(), 1e-9)
+    # residual std of the x1 model is ~0.5 (x1 = 2 x0 + 0.5 eps)
+    assert 0.4 < d.std() < 0.6, d.std()
+    assert abs(d.mean()) < 0.01, d.mean()
+    assert abs(float((z ** 3).mean())) < 0.1
+    assert abs(float((z ** 4).mean()) - 3.0) < 0.2
+    log(f"fused in-kernel noise: OK (std {d.std():.3f}, "
+        f"skew {float((z ** 3).mean()):.3f}, "
+        f"kurt {float((z ** 4).mean()):.3f})")
+    return 1
+
+
 def check_e2e_rmse():
     from duckdb_imputation_tpu.mice import run_mice_baseline
     from duckdb_imputation_tpu.table import from_numpy
@@ -208,6 +263,7 @@ def main():
     checks += check_kernel_parity()
     checks += check_grouped()
     checks += check_fused_mice()
+    checks += check_fused_noise()
     checks += check_e2e_rmse()
     print(json.dumps({"ok": True, "checks": checks}))
 
