@@ -37,7 +37,7 @@ def cmd_impute(args):
     if args.mode in ("device", "fused"):
         # the single-dispatch on-device loop (whole MICE run = one XLA
         # program); 'fused' chains the impute+aggregate Pallas kernel
-        # (2 table passes per round, deterministic solve-only)
+        # (2 table passes per round; stochastic noise drawn in-kernel)
         from .mice.device_round import run_mice_device
 
         with timer.phase("mice_device"):
@@ -361,8 +361,7 @@ def main(argv=None):
                         "the file is never resident. device = the whole "
                         "loop as ONE dispatch (single-chip production "
                         "path); fused = device loop via the fused "
-                        "impute+aggregate kernel (2 table passes/round, "
-                        "deterministic)")
+                        "impute+aggregate kernel (2 table passes/round)")
     p.add_argument("--block-mb", type=int, default=64,
                    help="streamed block size (stream mode)")
     p.add_argument("--dirty-budget-rows", type=int, default=None,
