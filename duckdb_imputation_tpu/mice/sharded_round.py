@@ -70,6 +70,10 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
         in_specs=(P(None, axis), P(None, axis), P(None, axis),
                   P(None, axis), P(axis), P()),
         out_specs=(P(None, axis), P(None, axis)),
+        # pallas_call outputs carry no varying-mesh-axes annotation, so the
+        # vma check rejects the Pallas kernels inside shard_map; the psum
+        # combine makes the sharding contract explicit regardless
+        check_vma=False,
     )
     def local(x, c, nn, cn, val, k):
         base_agg = _make_agg(kernel, schema)
@@ -205,6 +209,7 @@ def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
                   dirty_specs[:len(num_dirty_idx)],
                   dirty_specs[len(num_dirty_idx):]),
         out_specs=(P(None, axis), P(None, axis)),
+        check_vma=False,   # Pallas outputs carry no vma (see above)
     )
     def local(x, c, val, k, ndirty, cdirty):
         ndirty = tuple((i[0], v[0]) for i, v in ndirty)
