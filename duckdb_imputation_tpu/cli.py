@@ -361,7 +361,10 @@ def main(argv=None):
                         "the file is never resident. device = the whole "
                         "loop as ONE dispatch (single-chip production "
                         "path); fused = device loop via the fused "
-                        "impute+aggregate kernel (2 table passes/round)")
+                        "impute+aggregate kernel (2 table passes/round; "
+                        "in-kernel noise needs the v3 layout — schemas "
+                        "that dispatch the v2 fused layout fall back to "
+                        "the unfused device loop unless --no-noise)")
     p.add_argument("--block-mb", type=int, default=64,
                    help="streamed block size (stream mode)")
     p.add_argument("--dirty-budget-rows", type=int, default=None,

@@ -187,8 +187,12 @@ def _to_cols(x_num, codes, schema: FeatureSchema):
             tuple(codes[j] for j in range(schema.cat_cols)))
 
 
-def _kernel_block(kernel: str, schema: FeatureSchema) -> int:
+def _kernel_block(kernel: str, schema: FeatureSchema,
+                  chunk_cols: int = 8192) -> int:
     """Row-count granule of the chosen aggregation kernel (1 for XLA)."""
+    if kernel == "pallas_fused":
+        from ..ring.kernels.sigma_fused import fused_block
+        return fused_block(schema, chunk_cols)
     if kernel != "pallas_fast":
         return 1
     from ..ring.kernels.sigma_pallas import fast_cols_block
@@ -294,6 +298,70 @@ def mice_loop_device(x_num, codes, num_null, cat_null, key, *,
     return x_num, codes, key
 
 
+def _fused_round_body(x_cols, code_cols, sigma, r, *, schema: FeatureSchema,
+                      steps, null_of, lda_shrinkage: float, chunk_cols: int,
+                      seed_base=None, w_valid=None,
+                      combine=lambda s: s, block_off=None,
+                      interpret: bool = False):
+    """One fused-MICE round, shared by the single-device and sharded loops:
+    per column, train on the (combined) sigma, then ONE fused
+    impute+aggregate Pallas pass that writes the column and emits the NEXT
+    column's shard-local sigma. `combine` merges partial sigmas — identity
+    single-device, `psum` over the data axis in the sharded loop, placed
+    exactly where the reference merges per-thread SumStates
+    (sum_state.cpp:10-114). `null_of(kind, col) -> f32[n]` (1 = impute);
+    `w_valid` f32[n] folds zero-weight row padding into every aggregation
+    weight; `seed_base` int32 enables in-kernel stochastic noise;
+    `block_off` is this shard's global block offset for the noise stream.
+    Returns (x_cols, code_cols, sigma) with sigma already combined."""
+    from ..ring.kernels.sigma_fused import fused_impute_aggregate, pack_lhs
+
+    for i, (kind, col) in enumerate(steps):
+        nk, nc = steps[(i + 1) % len(steps)]
+        w_next = 1.0 - null_of(nk, nc)
+        if w_valid is not None:
+            w_next = w_next * w_valid
+        if kind == "cat":
+            n_classes = schema.cat_sizes[col]
+            w, icpt, keep = _lda_device(sigma, schema, col, lda_shrinkage)
+            lhs = pack_lhs(_w_full(w, keep, schema), icpt,
+                           schema=schema, n_rows=n_classes)
+            new, sigma = fused_impute_aggregate(
+                x_cols, code_cols, null_of(kind, col), w_next, lhs,
+                schema=schema, kind="cat", imp_col=col,
+                n_rows=n_classes, chunk_cols=chunk_cols,
+                interpret=interpret)
+            code_cols = (code_cols[:col] + (new,)
+                         + code_cols[col + 1:])
+        else:
+            coeff = linreg_solve_device(sigma, label=col + 1)
+            theta = coeff * (1.0 - jax.nn.one_hot(
+                col + 1, coeff.shape[0], dtype=coeff.dtype))
+            lhs = pack_lhs(theta[:, None], jnp.zeros((1,)),
+                           schema=schema, n_rows=1)
+            seed = std = None
+            if seed_base is not None:
+                theta_full = coeff.at[col + 1].set(-1.0)
+                var = (theta_full @ sigma @ theta_full
+                       / jnp.maximum(sigma[0, 0], 1.0))
+                std = jnp.sqrt(jnp.maximum(var, 0.0))
+                # integer hash of (key, round, column) — NOT threefry:
+                # a scalar fold_in/randint inside the round loop was
+                # measured taking ~200 s PER CALL on this TPU runtime
+                # (the kernel's own PRNG does the real bit mixing)
+                seed = (seed_base
+                        ^ (r * jnp.int32(-1640531527))   # 0x9E3779B1
+                        ^ jnp.int32(col * 40503 + 19))
+            new, sigma = fused_impute_aggregate(
+                x_cols, code_cols, null_of(kind, col), w_next, lhs,
+                schema=schema, kind="num", imp_col=col, n_rows=1,
+                chunk_cols=chunk_cols, noise_seed=seed, noise_std=std,
+                noise_block_off=block_off, interpret=interpret)
+            x_cols = x_cols[:col] + (new,) + x_cols[col + 1:]
+        sigma = combine(sigma)
+    return x_cols, code_cols, sigma
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
@@ -318,9 +386,7 @@ def mice_loop_device_fused(x_num, codes, num_null, cat_null, key=None, *,
     IN-KERNEL (Box-Muller from the Pallas PRNG, seeded per (round,
     column) from `key` — reproducible given the seed, but a DIFFERENT
     stream than the unfused loop's global-row-index counter draws)."""
-    from ..ring.kernels.sigma_fused import (fused_block,
-                                            fused_impute_aggregate,
-                                            pack_lhs)
+    from ..ring.kernels.sigma_fused import fused_block
     from ..ring.kernels.sigma_pallas import sigma_pallas_fast_cols_padded
 
     steps = ([("cat", j) for j in cat_cols_to_impute]
@@ -340,53 +406,18 @@ def mice_loop_device_fused(x_num, codes, num_null, cat_null, key=None, *,
         x_cols, code_cols, 1.0 - null_of(*steps[0]), schema=schema,
         chunk_cols=chunk_cols)
 
-    def body(r, carry):
-        x_cols, code_cols, sigma = carry
-        for i, (kind, col) in enumerate(steps):
-            nk, nc = steps[(i + 1) % len(steps)]
-            w_next = 1.0 - null_of(nk, nc)
-            if kind == "cat":
-                n_classes = schema.cat_sizes[col]
-                w, icpt, keep = _lda_device(sigma, schema, col,
-                                            lda_shrinkage)
-                lhs = pack_lhs(_w_full(w, keep, schema), icpt,
-                               schema=schema, n_rows=n_classes)
-                new, sigma = fused_impute_aggregate(
-                    x_cols, code_cols, null_of(kind, col), w_next, lhs,
-                    schema=schema, kind="cat", imp_col=col,
-                    n_rows=n_classes, chunk_cols=chunk_cols)
-                code_cols = (code_cols[:col] + (new,)
-                             + code_cols[col + 1:])
-            else:
-                coeff = linreg_solve_device(sigma, label=col + 1)
-                theta = coeff * (1.0 - jax.nn.one_hot(
-                    col + 1, coeff.shape[0], dtype=coeff.dtype))
-                lhs = pack_lhs(theta[:, None], jnp.zeros((1,)),
-                               schema=schema, n_rows=1)
-                seed = std = None
-                if noise:
-                    theta_full = coeff.at[col + 1].set(-1.0)
-                    var = (theta_full @ sigma @ theta_full
-                           / jnp.maximum(sigma[0, 0], 1.0))
-                    std = jnp.sqrt(jnp.maximum(var, 0.0))
-                    # integer hash of (key, round, column) — NOT threefry:
-                    # a scalar fold_in/randint inside the round loop was
-                    # measured taking ~200 s PER CALL on this TPU runtime
-                    # (the kernel's own PRNG does the real bit mixing)
-                    seed = (seed_base
-                            ^ (r * jnp.int32(-1640531527))   # 0x9E3779B1
-                            ^ jnp.int32(col * 40503 + 19))
-                new, sigma = fused_impute_aggregate(
-                    x_cols, code_cols, null_of(kind, col), w_next, lhs,
-                    schema=schema, kind="num", imp_col=col, n_rows=1,
-                    chunk_cols=chunk_cols, noise_seed=seed, noise_std=std)
-                x_cols = x_cols[:col] + (new,) + x_cols[col + 1:]
-        return x_cols, code_cols, sigma
-
     if noise and key is None:
         raise ValueError("noise=True requires a PRNG key")
     seed_base = (jnp.asarray(jax.random.key_data(key), jnp.uint32)[-1]
                  .astype(jnp.int32) if noise else None)
+
+    def body(r, carry):
+        x_cols, code_cols, sigma = carry
+        return _fused_round_body(
+            x_cols, code_cols, sigma, r, schema=schema, steps=steps,
+            null_of=null_of, lda_shrinkage=lda_shrinkage,
+            chunk_cols=chunk_cols, seed_base=seed_base)
+
     x_cols, code_cols, _ = jax.lax.fori_loop(
         0, iters, body, (x_cols, code_cols, sigma0))
     if pad:
@@ -423,6 +454,20 @@ def run_mice_device(t: Table, num_null_cols=None, cat_null_cols=None,
         if trainer != "solve":
             raise ValueError("the fused impute+aggregate loop is "
                              "solve-only; use kernel='pallas_fast' for GD")
+        if noise:
+            from ..ring.kernels.sigma_pallas import _fast_cols_use_v3
+            if not _fast_cols_use_v3(schema):
+                # in-kernel stochastic noise exists only in the v3 fused
+                # layout; for v2-dispatch schemas fall back to the unfused
+                # loop (same distribution, counter-based stream) instead
+                # of crashing at jit-trace time (round-4 advisor, medium)
+                import warnings
+                warnings.warn(
+                    "this schema dispatches the v2 fused layout, which has "
+                    "no in-kernel noise; falling back to the unfused "
+                    "pallas_fast loop for noise=True", stacklevel=2)
+                kernel = "pallas_fast"
+    if kernel == "pallas_fused":
         x, c = mice_loop_device_fused(
             t.num_data, t.cat_codes, t.num_null, t.cat_null,
             jax.random.PRNGKey(seed) if noise else None,

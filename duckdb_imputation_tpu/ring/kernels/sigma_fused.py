@@ -244,11 +244,18 @@ def _fused3_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
     noise=True (numeric columns): stochastic-regression imputation — the
     prediction gains std·z with z ~ N(0,1) drawn IN-KERNEL from the
     per-core PRNG via Box-Muller (the reference's regression.cpp:493-504
-    noise, its /dev/urandom seed replaced by a per-(round, column) seed +
-    the grid step, so a run is reproducible given its seed). Stream note:
-    these draws are keyed by (seed, block, lane), not by global row index
-    like the unfused loop's counter-based _row_noise — the two paths'
-    noise STREAMS differ while both match the reference's distribution."""
+    noise, its /dev/urandom seed replaced by a per-(round, column) seed,
+    so a run is reproducible given its seed). The per-block stream is
+    seeded `seed ^ ((block_off + step) · 0x9E3779B9)` — the step enters
+    MULTIPLICATIVELY (odd full-period constant), so two (round, column)
+    seeds that differ by less than the grid's block count can never alias
+    a neighbouring block's stream, and `block_off` (this shard's global
+    block offset, 0 single-device) keys the stream by GLOBAL block index:
+    for a fixed padded row count and chunking the draws are identical on
+    any mesh shape. Stream note: these draws are keyed by (seed, global
+    block, lane), not by global row index like the unfused loop's
+    counter-based _row_noise — the two paths' noise STREAMS differ while
+    both match the reference's distribution."""
     d, c = schema.num_cols, schema.cat_cols
     x_refs = refs[:d]
     c_refs = refs[d:d + c]
@@ -336,7 +343,11 @@ def _fused3_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
     znoise = None
     if noise and kind == "num":
         seed_ref, std_ref = extra
-        pltpu.prng_seed(seed_ref[0] + step)
+        # seed_ref = [per-(round, column) seed, global block offset];
+        # multiplicative step mixing — see the docstring's stream contract
+        pltpu.prng_seed(seed_ref[0]
+                        ^ ((seed_ref[1] + step)
+                           * jnp.int32(-1640531527)))   # 0x9E3779B9
 
         def unit(bits):
             # random bits → (0, 1]: 24 low bits as a positive int32
@@ -397,12 +408,15 @@ def _fused3_kernel(*refs, schema: FeatureSchema, kind: str, imp_col: int,
 
 
 @functools.partial(jax.jit, static_argnames=("schema", "kind", "imp_col",
-                                             "n_rows", "chunk_cols"))
+                                             "n_rows", "chunk_cols",
+                                             "interpret"))
 def _fused_impute_aggregate_v3(x_cols, code_cols, null_imp, w_agg, lhs, *,
                                schema: FeatureSchema, kind: str,
                                imp_col: int, n_rows: int,
                                chunk_cols: int = 8192,
-                               noise_seed=None, noise_std=None):
+                               noise_seed=None, noise_std=None,
+                               noise_block_off=None,
+                               interpret: bool = False):
     d, c = schema.num_cols, schema.cat_cols
     assert len(x_cols) == d and len(code_cols) == c
     n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
@@ -423,7 +437,10 @@ def _fused_impute_aggregate_v3(x_cols, code_cols, null_imp, w_agg, lhs, *,
         + [pl.BlockSpec((lhs.shape[0], width), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)]
     if noise:
-        ins += [jnp.asarray(noise_seed, jnp.int32).reshape(1),
+        boff = (jnp.zeros((), jnp.int32) if noise_block_off is None
+                else jnp.asarray(noise_block_off, jnp.int32).reshape(()))
+        ins += [jnp.stack([jnp.asarray(noise_seed, jnp.int32)
+                           .reshape(()), boff]),
                 jnp.asarray(noise_std, jnp.float32).reshape(1)]
         specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
     col_dtype = jnp.int32 if kind == "cat" else jnp.float32
@@ -445,6 +462,7 @@ def _fused_impute_aggregate_v3(x_cols, code_cols, null_imp, w_agg, lhs, *,
             jax.ShapeDtypeStruct((1, n), col_dtype),
             jax.ShapeDtypeStruct((width, width), jnp.float32),
         ),
+        interpret=interpret,
     )(*ins)
     return new_col[0], _fast3_epilogue(gram, schema)
 
@@ -459,34 +477,40 @@ def fused_block(schema: FeatureSchema, chunk_cols: int = 8192) -> int:
 def fused_impute_aggregate(x_cols, code_cols, null_imp, w_agg, lhs, *,
                            schema: FeatureSchema, kind: str, imp_col: int,
                            n_rows: int, chunk_cols: int = 8192,
-                           noise_seed=None, noise_std=None):
+                           noise_seed=None, noise_std=None,
+                           noise_block_off=None, interpret: bool = False):
     """One fused pass: impute column `imp_col` of `kind` from the scoring
     operand `lhs` (pack_lhs), then aggregate the masked sigma with weights
     `w_agg` over the UPDATED table. Returns (new_column [n], sigma [P, P]).
     Dispatches the v3 compact layout where it wins (pack_lhs made the
     matching choice). noise_seed/noise_std (numeric columns): stochastic-
-    regression noise drawn in-kernel (v3 only)."""
+    regression noise drawn in-kernel (v3 only); noise_block_off keys the
+    stream by global block index under sharding (see _fused3_kernel)."""
     if _fast_cols_use_v3(schema):
         return _fused_impute_aggregate_v3(
             x_cols, code_cols, null_imp, w_agg, lhs, schema=schema,
             kind=kind, imp_col=imp_col, n_rows=n_rows,
             chunk_cols=chunk_cols, noise_seed=noise_seed,
-            noise_std=noise_std)
+            noise_std=noise_std, noise_block_off=noise_block_off,
+            interpret=interpret)
     if noise_seed is not None:
         raise ValueError("in-kernel stochastic noise requires the v3 "
                          "fused layout; use the unfused loop for this "
                          "schema")
     return _fused_impute_aggregate_v2(
         x_cols, code_cols, null_imp, w_agg, lhs, schema=schema, kind=kind,
-        imp_col=imp_col, n_rows=n_rows, chunk_cols=chunk_cols)
+        imp_col=imp_col, n_rows=n_rows, chunk_cols=chunk_cols,
+        interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("schema", "kind", "imp_col",
-                                             "n_rows", "chunk_cols"))
+                                             "n_rows", "chunk_cols",
+                                             "interpret"))
 def _fused_impute_aggregate_v2(x_cols, code_cols, null_imp, w_agg, lhs, *,
                                schema: FeatureSchema, kind: str,
                                imp_col: int, n_rows: int,
-                               chunk_cols: int = 8192):
+                               chunk_cols: int = 8192,
+                               interpret: bool = False):
     """One fused pass: impute column `imp_col` of `kind` from the scoring
     operand `lhs` (pack_lhs), then aggregate the masked sigma with weights
     `w_agg` over the UPDATED table. Returns (new_column [n], sigma [P, P]).
@@ -529,6 +553,7 @@ def _fused_impute_aggregate_v2(x_cols, code_cols, null_imp, w_agg, lhs, *,
             jax.ShapeDtypeStruct((1, n), col_dtype),
             jax.ShapeDtypeStruct((width, width), jnp.float32),
         ),
+        interpret=interpret,
     )(*ins)
     sigma = _fast2_epilogue(gram, schema, t_pad, vpads, seg_e, p_seg, pack)
     return new_col[0], sigma

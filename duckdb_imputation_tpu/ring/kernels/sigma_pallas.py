@@ -496,10 +496,12 @@ def _fast2_epilogue(out, schema: FeatureSchema, t_pad, vpads, seg_e, p_seg,
     return sigma
 
 
-@functools.partial(jax.jit, static_argnames=("schema", "chunk_cols"))
+@functools.partial(jax.jit,
+                   static_argnames=("schema", "chunk_cols", "interpret"))
 def sigma_pallas_fast2_cols(x_cols, code_cols, weights, *,
                             schema: FeatureSchema,
-                            chunk_cols: int = 8192) -> jax.Array:
+                            chunk_cols: int = 8192,
+                            interpret: bool = False) -> jax.Array:
     """sigma_pallas_fast2 fed by TUPLES of per-column [n] arrays (the
     columnar pytree layout) — each column is its own kernel ref, so the
     [d, n] stack is never materialized. n must be a block multiple."""
@@ -525,6 +527,7 @@ def sigma_pallas_fast2_cols(x_cols, code_cols, weights, *,
         out_specs=pl.BlockSpec((width, width), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((width, width), jnp.float32),
+        interpret=interpret,
     )(*ins)
     return _fast2_epilogue(out, schema, t_pad, vpads, seg_e, p_seg, pack)
 
@@ -549,7 +552,8 @@ def fast_cols_block(schema: FeatureSchema) -> int:
 
 def sigma_pallas_fast_cols_padded(x_cols, code_cols, weights, *,
                                   schema: FeatureSchema,
-                                  chunk_cols: int | None = None
+                                  chunk_cols: int | None = None,
+                                  interpret: bool = False
                                   ) -> jax.Array:
     """Dispatched split-precision masked sigma over per-column tuples
     (BINARY weights): v3 compact kernel where it wins, else v2. The MICE
@@ -557,15 +561,18 @@ def sigma_pallas_fast_cols_padded(x_cols, code_cols, weights, *,
     if _fast_cols_use_v3(schema):
         return sigma_pallas_fast3_cols_padded(x_cols, code_cols, weights,
                                               schema=schema,
-                                              chunk_cols=chunk_cols)
+                                              chunk_cols=chunk_cols,
+                                              interpret=interpret)
     return sigma_pallas_fast2_cols_padded(x_cols, code_cols, weights,
                                           schema=schema,
-                                          chunk_cols=chunk_cols or 8192)
+                                          chunk_cols=chunk_cols or 8192,
+                                          interpret=interpret)
 
 
 def sigma_pallas_fast2_cols_padded(x_cols, code_cols, weights, *,
                                    schema: FeatureSchema,
-                                   chunk_cols: int = 8192) -> jax.Array:
+                                   chunk_cols: int = 8192,
+                                   interpret: bool = False) -> jax.Array:
     """Zero-weight pad n up to a v2 block multiple (per-column inputs)."""
     d = schema.num_cols
     n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
@@ -583,7 +590,8 @@ def sigma_pallas_fast2_cols_padded(x_cols, code_cols, weights, *,
     elif weights is None:
         weights = jnp.ones((n,), jnp.float32)
     return sigma_pallas_fast2_cols(x_cols, code_cols, weights,
-                                   schema=schema, chunk_cols=chunk_cols)
+                                   schema=schema, chunk_cols=chunk_cols,
+                                   interpret=interpret)
 
 
 def sigma_pallas_fast2_padded(x_num, codes, weights, *,
@@ -875,12 +883,16 @@ def _sigma_fast3_cols_kernel(*refs, schema: FeatureSchema, nseg: int,
         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("schema", "chunk_cols"))
+@functools.partial(jax.jit,
+                   static_argnames=("schema", "chunk_cols", "interpret"))
 def sigma_pallas_fast3_cols(x_cols, code_cols, weights, *,
                             schema: FeatureSchema,
-                            chunk_cols: int | None = None) -> jax.Array:
+                            chunk_cols: int | None = None,
+                            interpret: bool = False) -> jax.Array:
     """sigma_pallas_fast3 fed by TUPLES of per-column [n] arrays (the
-    columnar pytree layout). n must be a v3 block multiple."""
+    columnar pytree layout). n must be a v3 block multiple. interpret=True
+    runs the GENERIC pallas interpreter (works inside multi-process
+    shard_map programs, where force_tpu_interpret_mode deadlocks)."""
     d, c = schema.num_cols, schema.cat_cols
     assert len(x_cols) == d and len(code_cols) == c
     n = x_cols[0].shape[-1] if d else code_cols[0].shape[-1]
@@ -906,13 +918,15 @@ def sigma_pallas_fast3_cols(x_cols, code_cols, weights, *,
         out_specs=pl.BlockSpec((width, width), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((width, width), jnp.float32),
+        interpret=interpret,
     )(*ins)
     return _fast3_epilogue(out, schema)
 
 
 def sigma_pallas_fast3_cols_padded(x_cols, code_cols, weights, *,
                                    schema: FeatureSchema,
-                                   chunk_cols: int | None = None
+                                   chunk_cols: int | None = None,
+                                   interpret: bool = False
                                    ) -> jax.Array:
     """Zero-weight pad n up to a v3 block multiple (per-column inputs)."""
     d = schema.num_cols
@@ -933,7 +947,8 @@ def sigma_pallas_fast3_cols_padded(x_cols, code_cols, weights, *,
     elif weights is None:
         weights = jnp.ones((n,), jnp.float32)
     return sigma_pallas_fast3_cols(x_cols, code_cols, weights,
-                                   schema=schema, chunk_cols=chunk_cols)
+                                   schema=schema, chunk_cols=chunk_cols,
+                                   interpret=interpret)
 
 
 def sigma_pallas_fast3_padded(x_num, codes, weights, *,

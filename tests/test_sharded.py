@@ -483,3 +483,61 @@ def test_mice_sharded_delta_matches_device_delta():
     truth = num[nn[:, 1], 1]
     rmse = float(np.sqrt(np.mean((xs[1, nn[:, 1]] - truth) ** 2)))
     assert rmse < 0.05, rmse
+
+
+def test_mice_sharded_fused_matches_single_device_fused():
+    """kernel='pallas_fused' under shard_map (round-4 verdict ask #1): the
+    flagship fused impute+aggregate kernel runs per shard, each pass's
+    shard-local sigma psum'd before the replicated solve. Must match the
+    single-device fused loop — exact codes, numeric write-backs within the
+    psum reduction-order tolerance."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from duckdb_imputation_tpu.mice.device_round import mice_loop_device_fused
+    from duckdb_imputation_tpu.mice.sharded_round import mice_loop_sharded
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from duckdb_imputation_tpu.ring.kernels.sigma_fused import fused_block
+
+    rng = np.random.default_rng(29)
+    schema = FeatureSchema(num_cols=3,
+                           cat_keys=(tuple(range(3)), tuple(range(5))))
+    chunk = 128
+    blk = fused_block(schema, chunk)
+    n = 8 * blk                       # one fused block per shard
+    cls = rng.integers(0, 3, size=n)
+    z = rng.normal(size=n)
+    x = np.stack([cls * 2.0 + 0.3 * z,
+                  0.7 * cls + 0.2 * rng.normal(size=n),
+                  rng.normal(size=n)]).astype(np.float32)
+    c = np.stack([cls, rng.integers(0, 5, size=n)]).astype(np.int32)
+    nn = np.zeros((3, n), bool)
+    cn = np.zeros((2, n), bool)
+    nn[1, rng.random(n) < 0.2] = True
+    cn[0, rng.random(n) < 0.2] = True
+    kw = dict(schema=schema, num_cols_to_impute=(1,),
+              cat_cols_to_impute=(0,), iters=2)
+
+    with pltpu.force_tpu_interpret_mode():
+        xf, cf = mice_loop_device_fused(
+            jnp.asarray(x), jnp.asarray(c), jnp.asarray(nn),
+            jnp.asarray(cn), chunk_cols=chunk, **kw)
+        xf, cf = np.asarray(xf), np.asarray(cf)
+
+        mesh = make_mesh()
+        col_sh = NamedSharding(mesh, P(None, "data"))
+        xs, cs = mice_loop_sharded(
+            jax.device_put(x, col_sh), jax.device_put(c, col_sh),
+            jax.device_put(nn, col_sh), jax.device_put(cn, col_sh),
+            jax.device_put(np.ones(n, np.float32),
+                           NamedSharding(mesh, P("data"))),
+            jax.random.PRNGKey(0), mesh=mesh, kernel="pallas_fused",
+            chunk_cols=chunk, noise=False, trainer="solve", **kw)
+        xs, cs = np.asarray(xs), np.asarray(cs)
+
+    np.testing.assert_array_equal(cs, cf)
+    np.testing.assert_allclose(xs, xf, rtol=2e-3, atol=2e-3)
+    # observed cells untouched by either path
+    np.testing.assert_array_equal(xs[0], x[0])
+    np.testing.assert_array_equal(xs[1][~nn[1]], x[1][~nn[1]])
