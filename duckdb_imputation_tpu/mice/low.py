@@ -87,7 +87,10 @@ def run_delta_rounds(t: Table, full, parts, num_null_cols=None,
     if cat_null_cols is None:
         cat_null_cols = [j for j in range(schema.cat_cols)
                          if len(parts.cat_dirty_idx[j])]
-    key = jax.random.PRNGKey(seed)
+    # noise keys fold the GLOBAL (round, column): a checkpointed run
+    # resumed at start_iter>0 draws the identical stream as an
+    # uninterrupted one (a sequential split would replay from the start)
+    key0 = jax.random.PRNGKey(seed)
 
     for it in range(start_iter, iters):
         for col in cat_null_cols:
@@ -126,7 +129,7 @@ def run_delta_rounds(t: Table, full, parts, num_null_cols=None,
                 keep = jnp.asarray(
                     [j for j in range(schema.num_cols) if j != col])
                 jdx = jnp.asarray(idx)
-                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(key0, it * 1009 + col)
                 pred = linreg_predict(
                     params, t.num_data[keep][:, jdx],
                     t.cat_codes[:, jdx] if schema.cat_cols else None,

@@ -59,7 +59,7 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
                       lda_shrinkage: float = 0.001, noise: bool = False,
                       axis: str = "data", trainer: str = "solve",
                       kernel: str = "xla", chunk_cols: int = 8192,
-                      interpret: bool = False):
+                      interpret: bool = False, round_offset=0):
     """The whole sharded MICE loop in one dispatch. Arrays features-first,
     row axis sharded over `axis`; `valid` is f32[n] 1/0 (zero-weight row
     padding). `iters` may be traced. Inside the shard the table is the
@@ -79,7 +79,8 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
             mesh=mesh, num_cols_to_impute=num_cols_to_impute,
             cat_cols_to_impute=cat_cols_to_impute, iters=iters,
             lda_shrinkage=lda_shrinkage, noise=noise, axis=axis,
-            trainer=trainer, chunk_cols=chunk_cols, interpret=interpret)
+            trainer=trainer, chunk_cols=chunk_cols, interpret=interpret,
+            round_offset=round_offset)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -120,7 +121,11 @@ def mice_loop_sharded(x_num, codes, num_null, cat_null, valid, key, *,
                 noise_key_for=noise_key_for, trainer=trainer,
                 row_offset=row_offset)
 
-        cols = jax.lax.fori_loop(0, iters, one_round, _to_cols(x, c, schema))
+        # rounds run over GLOBAL indices [round_offset, round_offset +
+        # iters): noise keys fold the global round, so a checkpointed run
+        # resumed mid-way draws the identical stream as an uninterrupted one
+        cols = jax.lax.fori_loop(round_offset, round_offset + iters,
+                                 one_round, _to_cols(x, c, schema))
         return _from_cols(*cols, schema, x.shape[-1])
 
     return local(x_num, codes, num_null, cat_null, valid, key)
@@ -132,7 +137,7 @@ def _mice_loop_sharded_fused(x_num, codes, num_null, cat_null, valid, key,
                              cat_cols_to_impute: tuple[int, ...],
                              iters, lda_shrinkage: float, noise: bool,
                              axis: str, trainer: str, chunk_cols: int,
-                             interpret: bool = False):
+                             interpret: bool = False, round_offset=0):
     """kernel='pallas_fused' body of mice_loop_sharded (round-4 verdict
     ask #1): one plain shard-local aggregation + psum seeds sigma, then
     every fused pass imputes the previous column on its shard AND emits
@@ -185,7 +190,8 @@ def _mice_loop_sharded_fused(x_num, codes, num_null, cat_null, valid, key,
                 combine=combine, block_off=block_off, interpret=interpret)
 
         x_cols, code_cols, _ = jax.lax.fori_loop(
-            0, iters, body, (x_cols, code_cols, sigma0))
+            round_offset, round_offset + iters, body,
+            (x_cols, code_cols, sigma0))
         return _from_cols(x_cols, code_cols, schema, n_local)
 
     return local(x_num, codes, num_null, cat_null, valid, key)
@@ -196,12 +202,18 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
                      lda_shrinkage: float = 0.001, noise: bool = False,
                      seed: int = 0, axis: str = "data",
                      trainer: str = "solve", kernel: str = "auto",
-                     chunk_cols: int = 8192) -> Table:
+                     chunk_cols: int = 8192,
+                     checkpoint_path: str | None = None,
+                     checkpoint_every: int = 1) -> Table:
     """Host wrapper: mean/mode init, zero-weight row padding to the mesh
     size, sharded placement, one dispatch, unpad. kernel='auto' on TPU
     picks the fused impute+aggregate flagship kernel for the solve
     trainer (BASELINE config 5's topology on the headline kernel),
-    'pallas_fast' for GD."""
+    'pallas_fast' for GD.
+
+    checkpoint_path: persist the table every `checkpoint_every` rounds and
+    resume from the latest checkpoint if one exists — a killed run resumes
+    to the same trajectory (bit-identical: noise keys fold global rounds)."""
     from ..parallel.mesh import make_mesh
     from .partition import init_fill
 
@@ -254,12 +266,41 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
         np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)]),
         row_sh)
 
-    x_out, c_out = mice_loop_sharded(
-        x, c, nn, cn, valid, jax.random.PRNGKey(seed), schema=schema,
-        mesh=mesh, num_cols_to_impute=tuple(num_null_cols),
-        cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
-        gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
-        axis=axis, trainer=trainer, kernel=kernel, chunk_cols=chunk_cols)
+    loop_kw = dict(
+        schema=schema, mesh=mesh,
+        num_cols_to_impute=tuple(num_null_cols),
+        cat_cols_to_impute=tuple(cat_null_cols), gd_iters=gd_iters,
+        lda_shrinkage=lda_shrinkage, noise=noise, axis=axis,
+        trainer=trainer, kernel=kernel, chunk_cols=chunk_cols)
+    key = jax.random.PRNGKey(seed)
+
+    if checkpoint_path is None:
+        x_out, c_out = mice_loop_sharded(x, c, nn, cn, valid, key,
+                                         iters=iters, **loop_kw)
+    else:
+        # host-side round-boundary checkpoints (the reference has none —
+        # SURVEY §5): rounds run in checkpoint_every-sized dispatches;
+        # noise keys fold the GLOBAL round (round_offset), so the resumed
+        # trajectory is bit-identical to the uninterrupted one
+        from ..utils.checkpoint import MiceCheckpointer
+        ckpt = MiceCheckpointer(checkpoint_path)
+        start = 0
+        res = ckpt.resume()
+        if res is not None:
+            t_saved, start = res
+            if start >= iters:
+                return t_saved
+            x = jax.device_put(padded(t_saved.num_data), col_sh)
+            c = jax.device_put(padded(t_saved.cat_codes), col_sh)
+        x_out, c_out = x, c
+        for r0 in range(start, iters, checkpoint_every):
+            k_rounds = min(checkpoint_every, iters - r0)
+            x_out, c_out = mice_loop_sharded(
+                x_out, c_out, nn, cn, valid, key, iters=k_rounds,
+                round_offset=r0, **loop_kw)
+            ckpt(dataclasses.replace(
+                t, num_data=x_out[:, :n], cat_codes=c_out[:, :n]),
+                r0 + k_rounds - 1)
     # drop the pad rows ON DEVICE — no host round trip of the full table
     if pad:
         x_out = x_out[:, :n]
@@ -279,7 +320,8 @@ def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
                             iters, gd_iters: int = 500,
                             lda_shrinkage: float = 0.001,
                             noise: bool = False, axis: str = "data",
-                            trainer: str = "solve", kernel: str = "xla"):
+                            trainer: str = "solve", kernel: str = "xla",
+                            round_offset=0):
     """The delta-MICE strategy (imputation_low.cpp:42-110,188-194) under one
     shard_map: ONE psum'd full aggregation up front, then per column per
     round only each shard's LOCAL dirty rows are re-aggregated and the tiny
@@ -331,7 +373,8 @@ def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
             return x_cols, code_cols, kk, full
 
         x_cols, code_cols, _, _ = jax.lax.fori_loop(
-            0, iters, body, (x_cols0, code_cols0, k, full0))
+            round_offset, round_offset + iters, body,
+            (x_cols0, code_cols0, k, full0))
         return _from_cols(x_cols, code_cols, schema, x.shape[-1])
 
     return local(x_num, codes, valid, key, num_dirty_idx, cat_dirty_idx)
@@ -343,11 +386,18 @@ def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
                            lda_shrinkage: float = 0.001,
                            noise: bool = False, seed: int = 0,
                            axis: str = "data",
-                           trainer: str = "solve") -> Table:
+                           trainer: str = "solve",
+                           checkpoint_path: str | None = None,
+                           checkpoint_every: int = 1) -> Table:
     """Host wrapper for sharded delta-MICE: mean/mode init, rows padded to
     the mesh and block-sharded, per-shard dirty-row gathers built once
     (global dirty indices split by owning shard, pow2-padded to a common
-    width), then the whole loop is one dispatch."""
+    width), then the whole loop is one dispatch.
+
+    checkpoint_path: round-boundary checkpoints + resume (see
+    run_mice_sharded). Each resumed chunk recomputes `full` from the
+    current table — the delta algebra's own invariant (full = train +
+    delta), so the trajectory matches up to f32 re-accumulation."""
     from ..parallel.mesh import make_mesh
     from .partition import build_partitions, init_fill
 
@@ -408,13 +458,37 @@ def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
                          jax.device_put(v, shard_sh))
                         for i, v in cat_gathers)
 
-    x_out, c_out = mice_loop_sharded_delta(
-        x, c, valid, jax.random.PRNGKey(seed), num_gathers, cat_gathers,
+    loop_kw = dict(
         schema=schema, mesh=mesh,
         num_cols_to_impute=tuple(num_null_cols),
-        cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
-        gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,
-        axis=axis, trainer=trainer)
+        cat_cols_to_impute=tuple(cat_null_cols), gd_iters=gd_iters,
+        lda_shrinkage=lda_shrinkage, noise=noise, axis=axis,
+        trainer=trainer)
+    key = jax.random.PRNGKey(seed)
+    if checkpoint_path is None:
+        x_out, c_out = mice_loop_sharded_delta(
+            x, c, valid, key, num_gathers, cat_gathers, iters=iters,
+            **loop_kw)
+    else:
+        from ..utils.checkpoint import MiceCheckpointer
+        ckpt = MiceCheckpointer(checkpoint_path)
+        start = 0
+        res = ckpt.resume()
+        if res is not None:
+            t_saved, start = res
+            if start >= iters:
+                return t_saved
+            x = jax.device_put(padded(t_saved.num_data), col_sh)
+            c = jax.device_put(padded(t_saved.cat_codes), col_sh)
+        x_out, c_out = x, c
+        for r0 in range(start, iters, checkpoint_every):
+            k_rounds = min(checkpoint_every, iters - r0)
+            x_out, c_out = mice_loop_sharded_delta(
+                x_out, c_out, valid, key, num_gathers, cat_gathers,
+                iters=k_rounds, round_offset=r0, **loop_kw)
+            ckpt(dataclasses.replace(
+                t, num_data=x_out[:, :n], cat_codes=c_out[:, :n]),
+                r0 + k_rounds - 1)
     if pad:
         x_out = x_out[:, :n]
         c_out = c_out[:, :n]

@@ -232,8 +232,8 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
                     linreg_step: float = 0.001, linreg_lambda: float = 0.0,
                     linreg_iters: int = 10000, noise: bool = True,
                     seed: int = 0, timer: PhaseTimer | None = None,
-                    mesh=None,
-                    dirty_budget_rows: int | None = None) -> StreamImputation:
+                    mesh=None, dirty_budget_rows: int | None = None,
+                    checkpoint_path: str | None = None) -> StreamImputation:
     """MICE over a chunk stream (callable → iterator of ring.streaming.Chunk
     or (num, cat[, num_null, cat_null]) tuples). See module docstring.
     With `mesh`, the streaming Gram pass row-shards each chunk over the
@@ -241,8 +241,31 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
     which is small by the low-missing premise. At HIGH missing rates pass
     `dirty_budget_rows`: beyond that many dirty rows the cache spills to
     disk and the rounds run windowed (run_delta_rounds_spill) with peak
-    host memory O(chunk + budget + (P+K)²) instead of O(dirty)."""
+    host memory O(chunk + budget + (P+K)²) instead of O(dirty).
+
+    checkpoint_path: persist (full triple, dirty cache, fills, round) after
+    every delta round — O(dirty), never O(n) — and RESUME from it: a killed
+    run skips both streaming read passes and continues the identical
+    trajectory (noise keys fold global rounds). In-core cache only; the
+    spill path's state already lives on disk."""
     timer = timer or PhaseTimer()
+    ckpt = None
+    if checkpoint_path is not None:
+        from ..utils.checkpoint import StreamCheckpointer
+        ckpt = StreamCheckpointer(checkpoint_path)
+        resumed = ckpt.resume()
+        if resumed is not None:
+            t, full, idx, fills, ss, start_iter = resumed
+            with timer.phase("prepare"):
+                parts = build_partitions(t)
+            for it in range(start_iter, iters):
+                t, full = run_delta_rounds(
+                    t, full, parts, iters=it + 1, start_iter=it,
+                    lda_shrinkage=lda_shrinkage, linreg_step=linreg_step,
+                    linreg_lambda=linreg_lambda, linreg_iters=linreg_iters,
+                    noise=noise, seed=seed, timer=timer)
+                ckpt.save(t, full, idx, fills, ss, it + 1)
+            return StreamImputation(dirty=t, idx=idx, fills=fills, ss=ss)
     kw = dict(chunk_rows=chunk_rows) if chunk_rows else {}
     with timer.phase("stream_aggregate"):
         full, fills, ss, cache = aggregate_stream(
@@ -262,10 +285,19 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
     with timer.phase("prepare"):
         t = _dirty_table(cache, ss, fills)
         parts = build_partitions(t)
-    t, _ = run_delta_rounds(
-        t, full, parts, iters=iters, lda_shrinkage=lda_shrinkage,
-        linreg_step=linreg_step, linreg_lambda=linreg_lambda,
-        linreg_iters=linreg_iters, noise=noise, seed=seed, timer=timer)
+    if ckpt is None:
+        t, _ = run_delta_rounds(
+            t, full, parts, iters=iters, lda_shrinkage=lda_shrinkage,
+            linreg_step=linreg_step, linreg_lambda=linreg_lambda,
+            linreg_iters=linreg_iters, noise=noise, seed=seed, timer=timer)
+    else:
+        for it in range(iters):
+            t, full = run_delta_rounds(
+                t, full, parts, iters=it + 1, start_iter=it,
+                lda_shrinkage=lda_shrinkage, linreg_step=linreg_step,
+                linreg_lambda=linreg_lambda, linreg_iters=linreg_iters,
+                noise=noise, seed=seed, timer=timer)
+            ckpt.save(t, full, cache.idx, fills, ss, it + 1)
     return StreamImputation(dirty=t, idx=cache.idx, fills=fills, ss=ss)
 
 
@@ -297,17 +329,21 @@ def impute_csv_stream(in_path: str, out_path: str, iters: int = 5, *,
     kinds = [nt.is_numeric(c) for c in range(nt.n_cols)]
     del nt, probe
 
-    with timer.phase("write_out"), open(out_path, "w") as f:
-        f.write(",".join(names) + "\n")
-        fmt = ["%.9g" if k else "%d" for k in kinds]
+    from ..table.native import format_csv_block
+
+    with timer.phase("write_out"), open(out_path, "wb") as f:
+        f.write((",".join(names) + "\n").encode())
+        is_int = [not k for k in kinds]
         for num, cat in res.impute_chunks(source):
             cols, ni, ci = [], 0, 0
             for k in kinds:
                 if k:
-                    cols.append(num[ni].astype(np.float64))
+                    cols.append(num[ni])
                     ni += 1
                 else:
-                    cols.append(cat[ci].astype(np.float64))
+                    cols.append(cat[ci])
                     ci += 1
-            np.savetxt(f, np.stack(cols, axis=1), fmt=fmt, delimiter=",")
+            # native multithreaded formatter — the savetxt python loop was
+            # ~50x slower and dominated the whole out-of-core pipeline
+            f.write(format_csv_block(cols, is_int))
     return res

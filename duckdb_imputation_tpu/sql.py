@@ -1150,10 +1150,18 @@ class Connection:
                 lkeys = [left.get(u) for u in using]
                 rkeys = [right.get(u) for u in using]
                 rmap: dict[tuple, list[int]] = {}
+                # SQL 3VL: NULL never equals, so rows with any NULL key
+                # cannot match (on the LEFT path they then fall out
+                # unmatched and get NULL-padded) — round-4 advisor #3;
+                # hashing _pyval tuples would make None == None match
                 for r in range(right.n):
+                    if any(c.null[r] for c in rkeys):
+                        continue
                     rmap.setdefault(
                         tuple(_pyval(c, r) for c in rkeys), []).append(r)
                 for l in range(left.n):
+                    if any(c.null[l] for c in lkeys):
+                        continue
                     for r in rmap.get(
                             tuple(_pyval(c, l) for c in lkeys), []):
                         li.append(l)
@@ -2023,6 +2031,11 @@ def _expr_name(e, i):
 
 
 def _refs_resolve(e, rel: Relation) -> bool:
+    if isinstance(e, list):
+        # argument lists (e.g. COALESCE args, CASE arms) recurse into
+        # their elements — returning True here hid every column ref
+        # inside a function call from the ORDER BY hidden-key logic
+        return all(_refs_resolve(c, rel) for c in e)
     if not isinstance(e, tuple):
         return True
     if e[0] == "col":

@@ -25,6 +25,9 @@ def _build():
                    capture_output=True)
 
 
+_ABI_VERSION = 3
+
+
 def load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
@@ -32,6 +35,18 @@ def load_library() -> ctypes.CDLL:
     if not os.path.exists(_LIB_PATH):
         _build()
     lib = ctypes.CDLL(_LIB_PATH)
+    # stale-.so guard: rebuild when the checkout's ABI moved past the
+    # compiled library (a missing-symbol crash otherwise)
+    try:
+        lib.dbi_version.restype = ctypes.c_int64
+        stale = lib.dbi_version() < _ABI_VERSION
+    except AttributeError:
+        stale = True
+    if stale:
+        del lib
+        _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.dbi_version.restype = ctypes.c_int64
     lib.dbi_load_csv.restype = ctypes.c_void_p
     lib.dbi_load_csv.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     lib.dbi_free.argtypes = [ctypes.c_void_p]
@@ -79,8 +94,38 @@ def load_library() -> ctypes.CDLL:
     lib.dbi_csv_next_chunk.restype = ctypes.c_void_p
     lib.dbi_csv_next_chunk.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.dbi_csv_close.argtypes = [ctypes.c_void_p]
+    lib.dbi_format_csv.restype = ctypes.c_int64
+    lib.dbi_format_csv.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int]
     _lib = lib
     return lib
+
+
+def format_csv_block(cols, is_int, n_threads: int = 0) -> bytes:
+    """Format a chunk of columns into CSV text natively (multithreaded
+    snprintf — the write-back half of the out-of-core path; np.savetxt is
+    ~50× slower). cols: list of [m] arrays (any numeric dtype); is_int[c]
+    selects %lld (exact to 2^53) vs %.9g; NaN ⇒ empty field (the loader's
+    null convention)."""
+    lib = load_library()
+    k = len(cols)
+    m = len(cols[0]) if k else 0
+    data = np.ascontiguousarray(np.stack(
+        [np.asarray(c, np.float64) for c in cols]))
+    flags = np.asarray(is_int, np.uint8)
+    cap = int(m * (27 * k + 2))
+    # numpy-backed buffer: create_string_buffer zeroes + .raw copies,
+    # ~10x the formatting cost at 100MB chunks; a memoryview slice is free
+    buf = np.empty(cap, np.uint8)
+    nb = lib.dbi_format_csv(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), k, m,
+        flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.ctypes.data_as(ctypes.c_char_p), cap, n_threads)
+    if nb < 0:
+        raise RuntimeError("dbi_format_csv: buffer too small")
+    return memoryview(buf)[:nb]
 
 
 class NativeTable:

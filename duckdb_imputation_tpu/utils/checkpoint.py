@@ -57,6 +57,93 @@ def load_table(path: str) -> tuple[Table, dict]:
 
 
 @dataclasses.dataclass
+class StreamCheckpointer:
+    """Checkpoint/resume for out-of-core MICE (mice/streaming.py): persists
+    everything `run_mice_stream` needs to resume WITHOUT re-running the two
+    streaming read passes — the full Triple, the dirty-row cache table, the
+    dirty global indices, the stream fills/schema, and the completed round.
+    All O(dirty + (P+V)²), never O(n)."""
+    path: str
+
+    def save(self, t: Table, full, idx: np.ndarray, fills, ss,
+             completed_iters: int) -> None:
+        meta = {
+            "num_cols": t.schema.num_cols,
+            "cat_keys": [list(k) for k in t.schema.cat_keys],
+            "num_names": list(t.num_names),
+            "cat_names": list(t.cat_names),
+            "completed_iters": completed_iters,
+            "fills": {
+                "num_means": [float(v) for v in fills.num_means],
+                "cat_modes": [int(v) for v in fills.cat_modes],
+                "num_null_counts": [int(v) for v in fills.num_null_counts],
+                "cat_null_counts": [int(v) for v in fills.cat_null_counts],
+            },
+            "ss": {
+                "nullable_num": list(ss.nullable_num),
+                "nullable_cat": list(ss.nullable_cat),
+                "n_rows": int(ss.n_rows),
+            },
+        }
+        tmp = self.path + ".tmp"
+        np.savez_compressed(
+            tmp,
+            num_data=np.asarray(t.num_data),
+            cat_codes=np.asarray(t.cat_codes),
+            num_null=np.asarray(t.num_null),
+            cat_null=np.asarray(t.cat_null),
+            idx=np.asarray(idx, np.int64),
+            full_n=np.asarray(full.n), full_lin=np.asarray(full.lin),
+            full_quad=np.asarray(full.quad),
+            full_lin_cat=np.asarray(full.lin_cat),
+            full_num_cat=np.asarray(full.num_cat),
+            full_cat_cat=np.asarray(full.cat_cat),
+            meta=json.dumps(meta))
+        os.replace(tmp + ".npz", self.path)
+
+    def resume(self):
+        """-> (t, full, idx, fills, ss, completed_iters) or None."""
+        if not os.path.exists(self.path):
+            return None
+        from ..ring.streaming import StreamFills, StreamSchema
+        from ..ring.triple import Triple
+
+        z = np.load(self.path, allow_pickle=False)
+        meta = json.loads(str(z["meta"]))
+        schema = FeatureSchema(
+            num_cols=int(meta["num_cols"]),
+            cat_keys=tuple(tuple(int(v) for v in k)
+                           for k in meta["cat_keys"]))
+        t = Table(
+            num_data=jnp.asarray(z["num_data"]),
+            cat_codes=jnp.asarray(z["cat_codes"]),
+            num_null=jnp.asarray(z["num_null"]),
+            cat_null=jnp.asarray(z["cat_null"]),
+            schema=schema,
+            num_names=tuple(meta["num_names"]),
+            cat_names=tuple(meta["cat_names"]))
+        full = Triple(n=jnp.asarray(z["full_n"]),
+                      lin=jnp.asarray(z["full_lin"]),
+                      quad=jnp.asarray(z["full_quad"]),
+                      lin_cat=jnp.asarray(z["full_lin_cat"]),
+                      num_cat=jnp.asarray(z["full_num_cat"]),
+                      cat_cat=jnp.asarray(z["full_cat_cat"]))
+        f = meta["fills"]
+        fills = StreamFills(
+            num_means=tuple(f["num_means"]),
+            cat_modes=tuple(f["cat_modes"]),
+            num_null_counts=tuple(f["num_null_counts"]),
+            cat_null_counts=tuple(f["cat_null_counts"]))
+        s = meta["ss"]
+        ss = StreamSchema(schema=schema,
+                          nullable_num=tuple(s["nullable_num"]),
+                          nullable_cat=tuple(s["nullable_cat"]),
+                          n_rows=int(s["n_rows"]))
+        return t, full, np.asarray(z["idx"]), fills, ss, \
+            int(meta["completed_iters"])
+
+
+@dataclasses.dataclass
 class MiceCheckpointer:
     """on_iteration callback: persist the table after every MICE round and
     report the round to resume from."""

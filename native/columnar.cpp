@@ -692,6 +692,67 @@ double dbi_ref_agg_seconds(const float* x, const int32_t* codes,
   return std::chrono::duration<double>(t1 - t0).count() / reps;
 }
 
-int64_t dbi_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Streaming CSV WRITER — the write-back half of the out-of-core path.
+// np.savetxt formats ~0.5-1M values/s single-threaded in Python; at 100M
+// rows the write pass would dwarf every device phase. This formats m rows
+// × k cols (f64 matrix, FEATURES-FIRST [k, m]) into `out`, rows split
+// across threads, each into its own disjoint region, compacted at the
+// end. is_int[c] selects "%lld" (exact to 2^53 — the loader's int64
+// contract) vs "%.9g"; NaN cells emit an empty field (the loader's null
+// convention, so nulls round-trip). Returns bytes written, -1 if cap is
+// too small (caller sizes cap >= m * (27*k + 2)).
+int64_t dbi_format_csv(const double* data, int64_t k, int64_t m,
+                       const uint8_t* is_int, char* out, int64_t cap,
+                       int n_threads) {
+  if (n_threads <= 0) {
+    n_threads = int(std::thread::hardware_concurrency());
+    if (n_threads < 1) n_threads = 1;
+  }
+  if (int64_t(n_threads) > m) n_threads = int(m > 0 ? m : 1);
+  const int64_t stride = 27 * k + 2;  // worst-case bytes per row
+  if (cap < m * stride) return -1;
+  const int64_t per = (m + n_threads - 1) / n_threads;
+  std::vector<int64_t> lens(size_t(n_threads), 0);
+  std::vector<std::thread> th;
+  for (int t = 0; t < n_threads; t++) {
+    th.emplace_back([&, t]() {
+      const int64_t lo = int64_t(t) * per;
+      const int64_t hi = std::min<int64_t>(m, lo + per);
+      char* p = out + lo * stride;
+      char* q = p;
+      for (int64_t i = lo; i < hi; i++) {
+        for (int64_t c2 = 0; c2 < k; c2++) {
+          if (c2) *q++ = ',';
+          const double v = data[c2 * m + i];
+          if (std::isnan(v)) {
+            // null cell -> empty field
+          } else if (is_int[c2]) {
+            q = std::to_chars(q, q + 26, (long long)(llround(v))).ptr;
+          } else {
+            // shortest-round-trip float to_chars (Ryu). The precision
+            // overload silently falls back to printf in libstdc++
+            // (~300 ns/value); shortest is ~20 ns AND exact: the table's
+            // numerics are f32, so emitting the shortest f32 repr
+            // round-trips the stored value bit-for-bit through reload.
+            q = std::to_chars(q, q + 26, float(v)).ptr;
+          }
+        }
+        *q++ = '\n';
+      }
+      lens[size_t(t)] = q - p;
+    });
+  }
+  for (auto& x : th) x.join();
+  int64_t total = lens[0];
+  for (int t = 1; t < n_threads; t++) {
+    memmove(out + total, out + int64_t(t) * per * stride,
+            size_t(lens[size_t(t)]));
+    total += lens[size_t(t)];
+  }
+  return total;
+}
+
+int64_t dbi_version() { return 3; }
 
 }  // extern "C"

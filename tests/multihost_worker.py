@@ -252,6 +252,54 @@ xd1, cd1 = mice_loop_sharded_delta(
 np.testing.assert_allclose(xd_loc, np.asarray(xd1)[:, lo2:lo2 + per],
                            rtol=2e-3, atol=2e-3)
 
+# --- round-boundary checkpoint/resume ACROSS PROCESSES (verdict r4 #6):
+# rounds 0..1 run as two dispatches with round_offset, each process
+# persisting its HOST-LOCAL shard between them (the multi-controller
+# checkpoint pattern); the resumed trajectory must equal the
+# single-dispatch 2-round run BIT-FOR-BIT (noise keys fold global rounds
+# and global row indices).
+import tempfile  # noqa: E402
+
+noise_kw = dict(mice_kw, noise=True)
+xa, ca = mice_loop_sharded(
+    xg2, cg2, _glob(nn_all, P(None, "data")), _glob(cn_all, P(None, "data")),
+    mhu.host_local_array_to_global_array(valid_f[lo2:lo2 + per], mesh,
+                                         P("data")),
+    jax.random.PRNGKey(7), mesh=mesh, iters=1, round_offset=0,
+    **{k: v for k, v in noise_kw.items() if k != "iters"})
+ck = os.path.join(tempfile.gettempdir(), f"mh_ckpt_{port}_{proc_id}.npz")
+np.savez(ck,
+         x=np.asarray(mhu.global_array_to_host_local_array(
+             xa, mesh, P(None, "data"))),
+         c=np.asarray(mhu.global_array_to_host_local_array(
+             ca, mesh, P(None, "data"))))
+zk = np.load(ck)          # "fresh process": reload the shard from disk
+xb, cb = mice_loop_sharded(
+    mhu.host_local_array_to_global_array(zk["x"], mesh, P(None, "data")),
+    mhu.host_local_array_to_global_array(zk["c"], mesh, P(None, "data")),
+    _glob(nn_all, P(None, "data")), _glob(cn_all, P(None, "data")),
+    mhu.host_local_array_to_global_array(valid_f[lo2:lo2 + per], mesh,
+                                         P("data")),
+    jax.random.PRNGKey(7), mesh=mesh, iters=1, round_offset=1,
+    **{k: v for k, v in noise_kw.items() if k != "iters"})
+x2s, c2s = mice_loop_sharded(
+    xg2, cg2, _glob(nn_all, P(None, "data")), _glob(cn_all, P(None, "data")),
+    mhu.host_local_array_to_global_array(valid_f[lo2:lo2 + per], mesh,
+                                         P("data")),
+    jax.random.PRNGKey(7), mesh=mesh, iters=2,
+    **{k: v for k, v in noise_kw.items() if k != "iters"})
+np.testing.assert_array_equal(
+    np.asarray(mhu.global_array_to_host_local_array(xb, mesh,
+                                                    P(None, "data"))),
+    np.asarray(mhu.global_array_to_host_local_array(x2s, mesh,
+                                                    P(None, "data"))))
+np.testing.assert_array_equal(
+    np.asarray(mhu.global_array_to_host_local_array(cb, mesh,
+                                                    P(None, "data"))),
+    np.asarray(mhu.global_array_to_host_local_array(c2s, mesh,
+                                                    P(None, "data"))))
+os.remove(ck)
+
 # --- the out-of-core streaming fold riding the cross-process mesh ---
 from duckdb_imputation_tpu.mice.streaming import run_mice_stream  # noqa: E402
 from duckdb_imputation_tpu.ring.streaming import chunks_from_arrays  # noqa: E402

@@ -59,6 +59,19 @@ def _gen_rows_t2(rng, n=14):
     return rows
 
 
+def _gen_rows_t3(rng, n=12):
+    """Third table for 3-way joins; sk is a NULL-HEAVY string join key
+    (40% NULL — NULL never equals, so NULL-keyed rows match nothing)."""
+    rows = []
+    for i in range(n):
+        u = rng.randrange(3)
+        p = None if rng.random() < 0.2 else rng.randrange(-128, 129) / 64
+        sk = None if rng.random() < 0.4 else rng.choice(
+            ["ap", "bq", "cr", "dz", "zz"])
+        rows.append((u, p, sk))
+    return rows
+
+
 def _lit(v):
     return "NULL" if v is None else repr(v)
 
@@ -66,6 +79,7 @@ def _lit(v):
 def _make_engines(seed):
     rng = random.Random(seed)
     rows1, rows2 = _gen_rows_t1(rng), _gen_rows_t2(rng)
+    rows3 = _gen_rows_t3(rng)
 
     con = sql.connect()
     con.execute("CREATE TABLE t1(id INTEGER, a FLOAT, b FLOAT, "
@@ -75,6 +89,9 @@ def _make_engines(seed):
     con.execute("CREATE TABLE t2(k INTEGER, v FLOAT, w INTEGER)")
     con.execute("INSERT INTO t2 VALUES " + ", ".join(
         "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows2))
+    con.execute("CREATE TABLE t3(u INTEGER, p FLOAT, sk VARCHAR)")
+    con.execute("INSERT INTO t3 VALUES " + ", ".join(
+        "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows3))
 
     lite = sqlite3.connect(":memory:")
     lite.execute("CREATE TABLE t1(id INTEGER, a REAL, b REAL, "
@@ -82,6 +99,8 @@ def _make_engines(seed):
     lite.executemany("INSERT INTO t1 VALUES (?,?,?,?,?,?)", rows1)
     lite.execute("CREATE TABLE t2(k INTEGER, v REAL, w INTEGER)")
     lite.executemany("INSERT INTO t2 VALUES (?,?,?)", rows2)
+    lite.execute("CREATE TABLE t3(u INTEGER, p REAL, sk TEXT)")
+    lite.executemany("INSERT INTO t3 VALUES (?,?,?)", rows3)
     return con, lite, rng
 
 
@@ -213,7 +232,67 @@ def _having(rng, cols):
 
 
 def _make_query(rng):
-    shape = rng.randrange(15)
+    shape = rng.randrange(19)
+    if shape == 15:                   # 3-way join [+ GROUP BY + HAVING]
+        cols = ["t1.a", "t1.b", "t2.v", "t3.p"]
+        j2 = rng.choice(["JOIN", "LEFT JOIN"])
+        j3 = rng.choice(["JOIN", "LEFT JOIN"])
+        base = (f"FROM t1 {j2} t2 ON t1.d = t2.w "
+                f"{j3} t3 ON t1.d = t3.u")
+        if rng.random() < 0.5:
+            items = ", ".join(["t2.w", "COUNT(*)"]
+                              + [_agg_expr(rng, cols) for _ in range(2)])
+            q = f"SELECT {items} {base}"
+            if rng.random() < 0.5:
+                q += f" WHERE {_bool_expr(rng, cols, 2)}"
+            q += " GROUP BY t2.w"
+            if rng.random() < 0.4:
+                q += f" HAVING {_having(rng, cols)}"
+            return q
+        items = ", ".join(_num_expr(rng, cols, 2)
+                          for _ in range(rng.randrange(1, 4)))
+        q = f"SELECT {items} {base}"
+        if rng.random() < 0.6:
+            q += f" WHERE {_bool_expr(rng, cols, 2, scol='t1.s')}"
+        return q
+    if shape == 16:                   # NULL-heavy STRING join key
+        cols = ["t1.a", "t1.c", "t3.p", "t3.u"]
+        jkw = rng.choice(["JOIN", "LEFT JOIN", "LEFT OUTER JOIN"])
+        items = ", ".join(["t1.id"] + [_num_expr(rng, cols, 2)
+                                       for _ in range(rng.randrange(1, 3))])
+        q = f"SELECT {items} FROM t1 {jkw} t3 ON t1.s = t3.sk"
+        if rng.random() < 0.6:
+            q += f" WHERE {_bool_expr(rng, cols, 2, scol='t3.sk')}"
+        return q
+    if shape == 17:                   # ORDER BY on an EXPRESSION
+        # explicit NULLS FIRST/LAST aligns the engines' default NULL
+        # placement; the unique id tiebreak makes the selected row set
+        # deterministic, so the multiset compare validates the ordering
+        e = _num_expr(rng, T1_NUM, 2)
+        while e.lstrip("-").isdigit():
+            # a bare integer literal in ORDER BY is POSITIONAL in sqlite
+            e = _num_expr(rng, T1_NUM, 2)
+        q = f"SELECT id, {e} FROM t1"
+        if rng.random() < 0.5:
+            q += f" WHERE {_bool_expr(rng, T1_NUM, 2)}"
+        q += (f" ORDER BY {e} {rng.choice(['ASC', 'DESC'])} "
+              f"NULLS {rng.choice(['FIRST', 'LAST'])}, id "
+              f"LIMIT {rng.randrange(1, 15)}")
+        if rng.random() < 0.4:
+            q += f" OFFSET {rng.randrange(0, 8)}"
+        return q
+    if shape == 18:                   # USING join (derived left side)
+        jkw = rng.choice(["JOIN", "LEFT JOIN"])
+        # c is nullable: NULL keys must NOT match (NULL never equals)
+        lk = rng.choice(["d", "c"])
+        cols = ["a", "v", "w"]
+        items = ", ".join(_num_expr(rng, cols, 2)
+                          for _ in range(rng.randrange(1, 3)))
+        q = (f"SELECT {items} FROM (SELECT {lk} AS k, a FROM t1) "
+             f"{jkw} t2 USING (k)")
+        if rng.random() < 0.5:
+            q += f" WHERE {_bool_expr(rng, cols, 2)}"
+        return q
     if shape == 14:                   # ORDER BY unique key + LIMIT/OFFSET
         # the id column is unique and non-null, so both engines agree on
         # the selected row set even though general ORDER BY NULL placement

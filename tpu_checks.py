@@ -14,7 +14,10 @@ Checks:
      vs the masked per-group path on 90%-skewed labels.
   3. fused impute+aggregate MICE loop vs the unfused loop on
      signal-bearing data: imputed codes identical, numerics ~1e-4.
-  4. end-to-end rmse smoke (the /verify recipe).
+  4. the fused kernel through the SHARDED loop (1-device mesh):
+     bit-identical to the single-device fused loop, deterministic and
+     stochastic (global-block-keyed noise stream).
+  5. end-to-end rmse smoke (the /verify recipe).
 
 Prints one JSON line: {"ok": true, "checks": N} or raises.
 """
@@ -252,6 +255,51 @@ def check_e2e_rmse():
     return 1
 
 
+def check_sharded_fused():
+    """The fused production kernel through the SHARDED loop on hardware
+    (1-device mesh — multi-chip isn't available here; the 8-shard case is
+    covered by the interpret-mode pytest + the 2-process worker): must be
+    BIT-identical to the single-device fused loop, deterministic AND
+    stochastic — the global-block-keyed noise stream makes the two paths
+    byte-equal at equal padded row counts."""
+    import jax
+    from jax.sharding import Mesh
+
+    from duckdb_imputation_tpu.mice.device_round import run_mice_device
+    from duckdb_imputation_tpu.mice.sharded_round import run_mice_sharded
+    from duckdb_imputation_tpu.table import from_numpy
+
+    rng = np.random.default_rng(11)
+    n = 300_000
+    z = rng.normal(size=(n, 2))
+    num = np.stack([z[:, 0], 2 * z[:, 0] + z[:, 1], z[:, 1] - z[:, 0],
+                    rng.normal(size=n)], 1).astype(np.float32)
+    cat = ((z[:, 0] > 0).astype(int) * 3 + 4)[:, None]
+    nn = np.zeros_like(num, bool)
+    cn = np.zeros_like(cat, bool)
+    nn[rng.choice(n, n // 5, False), 1] = True
+    cn[rng.choice(n, n // 5, False), 0] = True
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+
+    for noise in (False, True):
+        out_s = run_mice_sharded(from_numpy(num, cat, nn, cn), iters=2,
+                                 mesh=mesh, kernel="pallas_fused",
+                                 noise=noise, seed=5)
+        out_d = run_mice_device(from_numpy(num, cat, nn, cn), iters=2,
+                                kernel="pallas_fused", noise=noise, seed=5)
+        np.testing.assert_array_equal(np.asarray(out_s.num_data),
+                                      np.asarray(out_d.num_data))
+        np.testing.assert_array_equal(np.asarray(out_s.cat_codes),
+                                      np.asarray(out_d.cat_codes))
+        rmse = float(np.sqrt(np.mean(
+            (np.asarray(out_s.num_data)[1, nn[:, 1]]
+             - num[nn[:, 1], 1]) ** 2)))
+        assert rmse < (0.2 if noise else 0.05), (noise, rmse)
+        log(f"sharded fused (noise={noise}): bit-identical to the "
+            f"single-device fused loop, rmse {rmse:.2e}")
+    return 2
+
+
 def main():
     from duckdb_imputation_tpu.config import enable_compilation_cache
     enable_compilation_cache()
@@ -264,6 +312,7 @@ def main():
     checks += check_grouped()
     checks += check_fused_mice()
     checks += check_fused_noise()
+    checks += check_sharded_fused()
     checks += check_e2e_rmse()
     print(json.dumps({"ok": True, "checks": checks}))
 
