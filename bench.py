@@ -476,6 +476,7 @@ def bench_mice_delta(schema, n=10_000_000, fracs=(0.01, 0.05, 0.20)):
 
     from duckdb_imputation_tpu.mice.device_round import (
         _kernel_block,
+        build_union_gather,
         mice_loop_device_delta,
     )
 
@@ -498,32 +499,21 @@ def bench_mice_delta(schema, n=10_000_000, fracs=(0.01, 0.05, 0.20)):
     out = {}
     for frac in fracs:
         k_dirty = int(n * frac)
-        # kernel-aligned pow2 gather width (run_mice_device_delta's rule)
-        bucket = 1 << (k_dirty - 1).bit_length()
-        bucket = -(-bucket // blk) * blk
         nn = jnp.zeros((4, n), bool)
         cn = jnp.zeros((2, n), bool)
         idx_n = np.sort(rng.choice(n, k_dirty, replace=False))
         idx_c = np.sort(rng.choice(n, k_dirty, replace=False))
         nn = nn.at[1, jnp.asarray(idx_n)].set(True)
         cn = cn.at[0, jnp.asarray(idx_c)].set(True)
-
-        def gather(idx):
-            pad_idx = np.pad(np.asarray(idx, np.int64),
-                             (0, bucket - len(idx)))
-            valid = (np.arange(bucket) < len(idx)).astype(np.float32)
-            return jnp.asarray(pad_idx), jnp.asarray(valid)
-
-        ng = (gather(idx_n),)
-        cg = (gather(idx_c),)
-        jax.block_until_ready((nn, cn, ng, cg))
+        union_idx, union_valid = build_union_gather([idx_n, idx_c], n, blk)
+        jax.block_until_ready((nn, cn, union_idx, union_valid))
 
         def run(iters, xx):
             xo, co, _ = mice_loop_device_delta(
-                xx + 0.0, c + 0, nn, cn, key, ng, cg, schema=schema,
-                num_cols_to_impute=(1,), cat_cols_to_impute=(0,),
-                iters=jnp.int32(iters), kernel="pallas_fast",
-                trainer="solve")
+                xx + 0.0, c + 0, nn, cn, key, union_idx, union_valid,
+                schema=schema, num_cols_to_impute=(1,),
+                cat_cols_to_impute=(0,), iters=jnp.int32(iters),
+                kernel="pallas_fast", trainer="solve")
             return float(np.asarray(xo[1, :4]).sum())
 
         run(1, x)
@@ -536,7 +526,8 @@ def bench_mice_delta(schema, n=10_000_000, fracs=(0.01, 0.05, 0.20)):
         per = slope_time(timed, 8, 64, k_max=1024,
                          tag=f"mice_delta_{int(frac * 100)}pct")
         log(f"delta-MICE round @{n} rows, {frac:.0%} dirty "
-            f"(gather width {bucket}): {per * 1e3:.2f} ms/round")
+            f"(compact union K={union_idx.shape[0]}): "
+            f"{per * 1e3:.2f} ms/round")
         out[frac] = per
     return out
 
@@ -614,6 +605,62 @@ def bench_qda_pipeline(schema, n=10_000_000, groups=8):
     log(f"QDA pipeline (grouped agg + train + batched predict) @{n}: "
         f"{per * 1e3:.1f} ms -> {n / per / 1e9:.2f}G rows/s end-to-end")
     return per, n
+
+
+def bench_wide_v(vocab_totals=(8192, 16384), n=262_144):
+    """Wide-V single-chip bench (round-4 verdict ask #5): the striped
+    kernel at V = 8k / 16k, where the dense sigma is 0.27 / 1.07 GB and
+    the per-row cost is dominated by the dense one-hot Gram (2·P²/n_rows
+    FLOP/row — the price of exact dense wide-V; the sharded escape is
+    parallel/wide.py, the sparse escape is out of the dense engine's
+    scope). Reports seconds per full striped sigma and effective rows/s.
+    Reference bound being escaped: ML/utils.cpp:176-310's single dense
+    sigma malloc."""
+    import jax
+    import jax.numpy as jnp
+
+    from duckdb_imputation_tpu import FeatureSchema
+    from duckdb_imputation_tpu.ring.striped import sigma_striped
+
+    out = {}
+    for v_total in vocab_totals:
+        vocab = v_total // 2
+        schema = FeatureSchema(num_cols=2,
+                               cat_keys=(tuple(range(vocab)),
+                                         tuple(range(vocab))))
+        p = schema.sigma_size
+
+        @jax.jit
+        def gen(key, vocab=vocab):
+            ks = jax.random.split(key, 3)
+            x = jax.random.normal(ks[0], (2, n), jnp.float32)
+            c = jax.random.randint(ks[1], (2, n), 0, vocab, jnp.int32)
+            w = (jax.random.uniform(ks[2], (n,)) > 0.2).astype(jnp.float32)
+            return x, c, w
+
+        x, c, w = gen(jax.random.PRNGKey(4))
+        jax.block_until_ready((x, c, w))
+
+        def run():
+            # dispatch every stripe asynchronously, block once — per-call
+            # RPC latency overlaps device work instead of serializing
+            outs = [s for _, s in sigma_striped(x, c, w, schema=schema,
+                                                stripe=2048,
+                                                row_chunk=2048)]
+            jax.block_until_ready(outs)
+            return float(np.asarray(outs[0][0, 0]))
+
+        run()                          # compile all stripes
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            dt = min(dt, time.perf_counter() - t0)
+        log(f"wide-V striped sigma V={v_total} (P={p}, "
+            f"{p * p * 4 / 1e9:.2f} GB sigma) @{n} rows: {dt:.2f}s "
+            f"-> {n / dt / 1e6:.2f}M rows/s")
+        out[f"wide_v_striped_sigma_s_V{v_total}"] = round(dt, 2)
+    return out
 
 
 def bench_streaming(n_rows=100_000_000, block_rows=2_097_152, miss=0.01,
@@ -772,6 +819,11 @@ def main():
         # config-4 completion: agg + train + batched predict end-to-end
         qda_pipe_s, qda_pipe_n = bench_qda_pipeline(schema)
         extras["qda_pipeline_ms_10M"] = round(qda_pipe_s * 1e3, 1)
+        # wide-V striped sigma at V=8k/16k (verdict r4 ask #5)
+        try:
+            extras.update(bench_wide_v())
+        except Exception as e:
+            log(f"wide-V bench failed: {str(e)[:200]}")
         # out-of-core MICE from a 100M-row on-disk CSV (verdict r4 ask #2)
         try:
             extras.update(bench_streaming())

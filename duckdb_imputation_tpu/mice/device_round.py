@@ -500,52 +500,55 @@ def _make_delta_agg(kernel: str, schema: FeatureSchema):
     return agg
 
 
-def _delta_round_columns(x_cols, code_cols, k, full, num_dirty_idx,
-                         cat_dirty_idx, *, schema: FeatureSchema,
+def _delta_round_columns(xc, cc, k, full, nn_c, cn_c, w_valid, gidx, *,
+                         schema: FeatureSchema,
                          num_cols_to_impute: tuple[int, ...],
                          cat_cols_to_impute: tuple[int, ...],
                          agg, combine, gd_iters: int, lda_shrinkage: float,
-                         noise: bool, trainer: str, row_offset=0):
-    """One delta-MICE round (imputation_low.cpp:42-110 algebra), shared by
-    the single-device and sharded loops, columnar tuple carry. `agg`
-    produces a LOCAL sigma from gathered rows; `combine` merges partials
-    across devices (identity single-device, lax.psum in the shard_map
-    loop). `full`/`train` are replicated under combine=psum; gathers and
-    write-backs stay shard-local. `k` must already be folded per round;
-    noise draws are keyed by (k, col, GLOBAL row index = row_offset +
-    local idx) so stochastic results are identical for any mesh shape or
-    dirty-row padding."""
-    x_cols = tuple(x_cols)
-    code_cols = tuple(code_cols)
+                         noise: bool, trainer: str):
+    """One delta-MICE round over the COMPACT union sub-table
+    (imputation_low.cpp:42-110 algebra), shared by the single-device and
+    sharded loops.
 
-    def delta_sigma(xc, cc, idx, valid):
-        return combine(agg(tuple(a[idx] for a in xc),
-                           tuple(a[idx] for a in cc), valid))
+    The round-4 implementation gathered each column's dirty rows from the
+    FULL table every round (2 gathers + 1 scatter of ~10^5 random indices
+    per column per round) — measured 23.6 ms/round at 10M rows / 1% dirty,
+    9x SLOWER than the 2.6 ms fused full rescan: TPU random gather/scatter
+    at full-table scale dominates everything. But the dirty-row set is
+    STATIC (null positions never move), so the union of all dirty rows is
+    gathered ONCE into a compact [K] sub-table before the rounds; every
+    delta aggregation is then a sequential masked kernel pass over K rows
+    (weights = this column's compact dirty mask), predictions and
+    write-backs stay compact, and the full table is touched again only by
+    the one scatter per column at exit. This is the TPU-native analogue of
+    the reference's physical t_complete_<col> partition tables
+    (partition.cpp:77-237) — materialize the dirty partition once, not per
+    round.
 
-    for ci, col in enumerate(cat_cols_to_impute):
-        idx, valid = cat_dirty_idx[ci]
-        delta = delta_sigma(x_cols, code_cols, idx, valid)
+    xc/cc: compact per-column tuples [K]; nn_c/cn_c: compact null masks;
+    w_valid f32[K] union-row validity (0 = padding); gidx i64[K] GLOBAL
+    row ids of the union rows (noise keying — mesh-shape invariant).
+    `combine` merges shard partials (identity / psum)."""
+    xc = tuple(xc)
+    cc = tuple(cc)
+
+    for col in cat_cols_to_impute:
+        wdirty = cn_c[col].astype(jnp.float32) * w_valid
+        delta = combine(agg(xc, cc, wdirty))
         train = full - delta
         w, intercept, keep = _lda_device(train, schema, col,
                                          lda_shrinkage)
-        pred_code = class_argmax(
-            _w_full(w, keep, schema), intercept,
-            tuple(a[idx] for a in x_cols),
-            tuple(a[idx] for a in code_cols), schema=schema)
-        old_col = code_cols[col]
-        old = old_col[idx]
-        # scatter-ADD form: zero-padded gather indices all alias row 0
-        # and contribute exactly 0, so a real dirty row 0 can never race
-        # the pad writes (duplicate-index scatter order is undefined)
-        new_col = old_col.at[idx].add(
-            (valid > 0).astype(old_col.dtype)
-            * (pred_code.astype(old_col.dtype) - old))
-        code_cols = code_cols[:col] + (new_col,) + code_cols[col + 1:]
-        full = train + delta_sigma(x_cols, code_cols, idx, valid)
+        pred = class_argmax(_w_full(w, keep, schema), intercept,
+                            xc, cc, schema=schema)
+        old = cc[col]
+        new = jnp.where(cn_c[col] & (w_valid > 0),
+                        pred.astype(old.dtype), old)
+        cc = cc[:col] + (new,) + cc[col + 1:]
+        full = train + combine(agg(xc, cc, wdirty))
 
-    for ci, col in enumerate(num_cols_to_impute):
-        idx, valid = num_dirty_idx[ci]
-        delta = delta_sigma(x_cols, code_cols, idx, valid)
+    for col in num_cols_to_impute:
+        wdirty = nn_c[col].astype(jnp.float32) * w_valid
+        delta = combine(agg(xc, cc, wdirty))
         train = full - delta
         if trainer == "solve":
             coeff = linreg_solve_device(train, label=col + 1)
@@ -554,31 +557,29 @@ def _delta_round_columns(x_cols, code_cols, k, full, num_dirty_idx,
                                         max_iters=gd_iters)
         theta = coeff * (1.0 - jax.nn.one_hot(
             col + 1, coeff.shape[0], dtype=coeff.dtype))
-        pred = linear_predict(theta, tuple(a[idx] for a in x_cols),
-                              tuple(a[idx] for a in code_cols),
-                              schema=schema)
+        pred = linear_predict(theta, xc, cc, schema=schema)
         if noise:
             nkey = jax.random.fold_in(k, col)
             theta_full = coeff.at[col + 1].set(-1.0)
             var = (theta_full @ train @ theta_full
                    / jnp.maximum(train[0, 0], 1.0))
             pred = pred + jnp.sqrt(jnp.maximum(var, 0.0)) \
-                * _row_noise(nkey, row_offset + idx)
-        old_col = x_cols[col]
-        old = old_col[idx]
-        new_col = old_col.at[idx].add(valid * (pred - old))  # see cat note
-        x_cols = x_cols[:col] + (new_col,) + x_cols[col + 1:]
-        full = train + delta_sigma(x_cols, code_cols, idx, valid)
-    return x_cols, code_cols, k, full
+                * _row_noise(nkey, gidx)
+        old = xc[col]
+        new = jnp.where(nn_c[col] & (w_valid > 0), pred, old)
+        xc = xc[:col] + (new,) + xc[col + 1:]
+        full = train + combine(agg(xc, cc, wdirty))
+    return xc, cc, k, full
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("schema", "num_cols_to_impute", "cat_cols_to_impute",
-                     "gd_iters", "lda_shrinkage", "noise", "kernel", "trainer"),
+                     "gd_iters", "lda_shrinkage", "noise", "kernel",
+                     "trainer"),
     donate_argnames=("x_num", "codes"))
 def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
-                           num_dirty_idx, cat_dirty_idx, *,
+                           union_idx, union_valid, *,
                            schema: FeatureSchema,
                            num_cols_to_impute: tuple[int, ...],
                            cat_cols_to_impute: tuple[int, ...],
@@ -587,36 +588,74 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
                            noise: bool = False, kernel: str = "xla",
                            trainer: str = "solve"):
     """The low-missing delta strategy (imputation_low.cpp) fused on-device:
-    ONE full aggregation up front, then per column per round only the
-    column's dirty rows are re-aggregated:
+    ONE full aggregation up front, ONE gather of the union-of-dirty-rows
+    compact sub-table, then every round runs entirely compact:
 
-        delta  = sigma(dirty rows, current values)
-        train  = full − delta          → train / impute dirty rows
-        full   = train + sigma(dirty rows, imputed values)
+        delta  = sigma(compact rows, weights = col's dirty mask)
+        train  = full - delta          -> train / impute compact cells
+        full   = train + sigma(compact rows, updated values)
 
-    num_dirty_idx / cat_dirty_idx: per imputed column, (idx i32[k_pad],
-    valid f32[k_pad]) — the dirty-row gathers, zero-padded (static shapes).
-    Work per round: O(Σ dirty) instead of O(C·n)."""
+    and ONE scatter per column writes the imputed cells back at exit.
+    union_idx i64[K] (pad-aliased to row 0), union_valid f32[K].
+    Work per round: O(K = |union dirty|), sequential-access only — see
+    _delta_round_columns for why the per-round gather variant lost to the
+    full rescan."""
     agg = _make_delta_agg(kernel, schema)
     n = x_num.shape[-1] if schema.num_cols else codes.shape[-1]
     x_cols0, code_cols0 = _to_cols(x_num, codes, schema)
     full0 = agg(x_cols0, code_cols0, jnp.ones((n,), jnp.float32))
 
+    xc0 = tuple(a[union_idx] for a in x_cols0)
+    cc0 = tuple(a[union_idx] for a in code_cols0)
+    nn_c = num_null[:, union_idx] if schema.num_cols else num_null
+    cn_c = cat_null[:, union_idx] if schema.cat_cols else cat_null
+
     def body(r, carry):
-        x_cols, code_cols, k, full = carry
-        x_cols, code_cols, _, full = _delta_round_columns(
-            x_cols, code_cols, jax.random.fold_in(k, r), full,
-            num_dirty_idx, cat_dirty_idx, schema=schema,
+        xc, cc, kk, full = carry
+        xc, cc, _, full = _delta_round_columns(
+            xc, cc, jax.random.fold_in(kk, r), full, nn_c, cn_c,
+            union_valid, union_idx, schema=schema,
             num_cols_to_impute=num_cols_to_impute,
             cat_cols_to_impute=cat_cols_to_impute, agg=agg,
             combine=lambda s: s, gd_iters=gd_iters,
             lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer)
-        return x_cols, code_cols, k, full
+        return xc, cc, kk, full
 
-    x_cols, code_cols, k, _ = jax.lax.fori_loop(
-        0, iters, body, (x_cols0, code_cols0, key, full0))
+    xc, cc, _, _ = jax.lax.fori_loop(
+        0, iters, body, (xc0, cc0, key, full0))
+
+    # write-back: one scatter-ADD per imputed column (pad indices alias
+    # row 0 with valid 0 => exact no-op; untouched compact cells add 0)
+    x_cols, code_cols = x_cols0, code_cols0
+    for col in num_cols_to_impute:
+        newc = x_cols[col].at[union_idx].add(
+            union_valid * (xc[col] - xc0[col]))
+        x_cols = x_cols[:col] + (newc,) + x_cols[col + 1:]
+    for col in cat_cols_to_impute:
+        newc = code_cols[col].at[union_idx].add(
+            (union_valid > 0).astype(code_cols[col].dtype)
+            * (cc[col] - cc0[col]))
+        code_cols = code_cols[:col] + (newc,) + code_cols[col + 1:]
     x_num, codes = _from_cols(x_cols, code_cols, schema, n)
-    return x_num, codes, k
+    return x_num, codes, key
+
+
+def build_union_gather(dirty_idx_lists, n, blk: int = 1):
+    """Union of per-column dirty-row index lists -> (union_idx i64[K_pad],
+    union_valid f32[K_pad]) with K_pad the next pow2 rounded up to the
+    kernel block `blk` (compile-count O(log n), no per-call kernel pad)."""
+    if dirty_idx_lists:
+        union = np.unique(np.concatenate(
+            [np.asarray(ix, np.int64) for ix in dirty_idx_lists]))
+    else:
+        union = np.zeros((0,), np.int64)
+    size = max(len(union), 1)
+    bucket = 1 << (size - 1).bit_length()
+    bucket = -(-bucket // blk) * blk
+    idx = np.zeros(bucket, np.int64)
+    idx[:len(union)] = union
+    valid = (np.arange(bucket) < len(union)).astype(np.float32)
+    return jnp.asarray(idx), jnp.asarray(valid)
 
 
 def run_mice_device_delta(t: Table, num_null_cols=None, cat_null_cols=None,
@@ -624,8 +663,8 @@ def run_mice_device_delta(t: Table, num_null_cols=None, cat_null_cols=None,
                           lda_shrinkage: float = 0.001, noise: bool = False,
                           seed: int = 0, kernel: str = "auto",
                           trainer: str = "solve") -> Table:
-    """Host wrapper for the fused delta loop: builds the static dirty-row
-    gathers (pow2-padded) once, then a single dispatch runs every round."""
+    """Host wrapper for the compact delta loop: builds the union dirty-row
+    gather once, then a single dispatch runs every round."""
     import dataclasses
 
     from .partition import build_partitions, init_fill
@@ -645,23 +684,13 @@ def run_mice_device_delta(t: Table, num_null_cols=None, cat_null_cols=None,
                       and t.n_rows >= (1 << 20)) else "xla")
 
     blk = _kernel_block(kernel, schema)
-
-    def gather(idx):
-        size = max(len(idx), 1)
-        bucket = 1 << (size - 1).bit_length()
-        bucket = -(-bucket // blk) * blk   # kernel-aligned: no per-agg pad
-        pad_idx = np.pad(np.asarray(idx, np.int64), (0, bucket - len(idx)))
-        valid = (np.arange(bucket) < len(idx)).astype(np.float32)
-        return jnp.asarray(pad_idx), jnp.asarray(valid)
-
-    num_gathers = tuple(gather(parts.num_dirty_idx[j])
-                        for j in num_null_cols)
-    cat_gathers = tuple(gather(parts.cat_dirty_idx[j])
-                        for j in cat_null_cols)
+    union_idx, union_valid = build_union_gather(
+        [parts.num_dirty_idx[j] for j in num_null_cols]
+        + [parts.cat_dirty_idx[j] for j in cat_null_cols], t.n_rows, blk)
 
     x, c, _ = mice_loop_device_delta(
         t.num_data, t.cat_codes, t.num_null, t.cat_null,
-        jax.random.PRNGKey(seed), num_gathers, cat_gathers,
+        jax.random.PRNGKey(seed), union_idx, union_valid,
         schema=schema, num_cols_to_impute=tuple(num_null_cols),
         cat_cols_to_impute=tuple(cat_null_cols), iters=iters,
         gd_iters=gd_iters, lda_shrinkage=lda_shrinkage, noise=noise,

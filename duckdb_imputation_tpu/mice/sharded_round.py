@@ -313,8 +313,9 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
     static_argnames=("schema", "mesh", "num_cols_to_impute",
                      "cat_cols_to_impute", "gd_iters", "lda_shrinkage",
                      "noise", "axis", "trainer", "kernel"))
-def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
-                            cat_dirty_idx, *, schema: FeatureSchema, mesh,
+def mice_loop_sharded_delta(x_num, codes, num_null, cat_null, valid, key,
+                            union_idx, union_valid, *,
+                            schema: FeatureSchema, mesh,
                             num_cols_to_impute: tuple[int, ...],
                             cat_cols_to_impute: tuple[int, ...],
                             iters, gd_iters: int = 500,
@@ -323,36 +324,33 @@ def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
                             trainer: str = "solve", kernel: str = "xla",
                             round_offset=0):
     """The delta-MICE strategy (imputation_low.cpp:42-110,188-194) under one
-    shard_map: ONE psum'd full aggregation up front, then per column per
-    round only each shard's LOCAL dirty rows are re-aggregated and the tiny
-    P×P deltas all-reduced — per-round communication is column-count × one
-    sigma psum, per-round compute O(Σ dirty / D) per device. `full` and
-    `train` are born replicated (every device psums the same partials);
-    gathers and write-backs never leave the shard.
+    shard_map, COMPACT union form (see device_round._delta_round_columns
+    for why per-round full-table gathers lost to the rescan): each shard
+    gathers the union of ITS dirty rows once into a compact sub-table,
+    every round runs compact masked aggregations whose tiny P×P
+    delta/readd sigmas are psum'd (communication per round: column-count ×
+    2 sigma all-reduces, D-independent), `full`/`train` stay replicated,
+    and one scatter per column per dispatch writes back shard-locally.
 
-    num_dirty_idx / cat_dirty_idx: per imputed column,
-    (idx i32[D, k_pad], valid f32[D, k_pad]) — SHARD-LOCAL dirty-row
-    indices, row-padded to a common k_pad, sharded over the leading axis."""
+    union_idx i32[D, K], union_valid f32[D, K]: SHARD-LOCAL union
+    dirty-row indices, padded to a common width, sharded over the leading
+    axis; num_null/cat_null are the full masks (compact masks gathered
+    in-shard)."""
     from .device_round import (_delta_round_columns, _from_cols,
                                _make_delta_agg, _to_cols)
 
     agg = _make_delta_agg(kernel, schema)
 
-    dirty_specs = tuple((P(axis, None), P(axis, None))
-                        for _ in range(len(num_dirty_idx)
-                                       + len(cat_dirty_idx)))
-
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis), P(axis), P(),
-                  dirty_specs[:len(num_dirty_idx)],
-                  dirty_specs[len(num_dirty_idx):]),
+        in_specs=(P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis), P(axis), P(), P(axis, None),
+                  P(axis, None)),
         out_specs=(P(None, axis), P(None, axis)),
         check_vma=False,   # Pallas outputs carry no vma (see above)
     )
-    def local(x, c, val, k, ndirty, cdirty):
-        ndirty = tuple((i[0], v[0]) for i, v in ndirty)
-        cdirty = tuple((i[0], v[0]) for i, v in cdirty)
+    def local(x, c, nn, cn, val, k, uidx, uval):
+        uidx, uval = uidx[0], uval[0]
         combine = lambda s: jax.lax.psum(s, axis)
         x_cols0, code_cols0 = _to_cols(x, c, schema)
         full0 = combine(agg(x_cols0, code_cols0, val))
@@ -360,24 +358,39 @@ def mice_loop_sharded_delta(x_num, codes, valid, key, num_dirty_idx,
         # invariant, no shard fold
         row_offset = jax.lax.axis_index(axis) * x.shape[-1]
 
+        xc0 = tuple(a[uidx] for a in x_cols0)
+        cc0 = tuple(a[uidx] for a in code_cols0)
+        nn_c = nn[:, uidx] if schema.num_cols else nn
+        cn_c = cn[:, uidx] if schema.cat_cols else cn
+
         def body(r, carry):
-            x_cols, code_cols, kk, full = carry
-            x_cols, code_cols, _, full = _delta_round_columns(
-                x_cols, code_cols, jax.random.fold_in(kk, r), full,
-                ndirty, cdirty, schema=schema,
+            xc, cc, kk, full = carry
+            xc, cc, _, full = _delta_round_columns(
+                xc, cc, jax.random.fold_in(kk, r), full, nn_c, cn_c,
+                uval, row_offset + uidx, schema=schema,
                 num_cols_to_impute=num_cols_to_impute,
                 cat_cols_to_impute=cat_cols_to_impute, agg=agg,
                 combine=combine, gd_iters=gd_iters,
-                lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer,
-                row_offset=row_offset)
-            return x_cols, code_cols, kk, full
+                lda_shrinkage=lda_shrinkage, noise=noise, trainer=trainer)
+            return xc, cc, kk, full
 
-        x_cols, code_cols, _, _ = jax.lax.fori_loop(
+        xc, cc, _, _ = jax.lax.fori_loop(
             round_offset, round_offset + iters, body,
-            (x_cols0, code_cols0, k, full0))
+            (xc0, cc0, k, full0))
+
+        x_cols, code_cols = x_cols0, code_cols0
+        for col in num_cols_to_impute:
+            newc = x_cols[col].at[uidx].add(uval * (xc[col] - xc0[col]))
+            x_cols = x_cols[:col] + (newc,) + x_cols[col + 1:]
+        for col in cat_cols_to_impute:
+            newc = code_cols[col].at[uidx].add(
+                (uval > 0).astype(code_cols[col].dtype)
+                * (cc[col] - cc0[col]))
+            code_cols = code_cols[:col] + (newc,) + code_cols[col + 1:]
         return _from_cols(x_cols, code_cols, schema, x.shape[-1])
 
-    return local(x_num, codes, valid, key, num_dirty_idx, cat_dirty_idx)
+    return local(x_num, codes, num_null, cat_null, valid, key,
+                 union_idx, union_valid)
 
 
 def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
@@ -417,25 +430,23 @@ def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
         cat_null_cols = tuple(j for j in range(schema.cat_cols)
                               if len(parts.cat_dirty_idx[j]))
 
-    def shard_gathers(idx):
-        """global dirty idx -> (idx i32[D, k_pad], valid f32[D, k_pad])
-        with idx local to each shard's row block."""
-        idx = np.asarray(idx, np.int64)
-        per = [idx[(idx >= s * m) & (idx < (s + 1) * m)] - s * m
-               for s in range(ndev)]
-        width = max(max((len(p) for p in per), default=0), 1)
-        width = 1 << (width - 1).bit_length()
-        out_i = np.zeros((ndev, width), np.int64)
-        out_v = np.zeros((ndev, width), np.float32)
-        for s, p in enumerate(per):
-            out_i[s, :len(p)] = p
-            out_v[s, :len(p)] = 1.0
-        return jnp.asarray(out_i), jnp.asarray(out_v)
-
-    num_gathers = tuple(shard_gathers(parts.num_dirty_idx[j])
-                        for j in num_null_cols)
-    cat_gathers = tuple(shard_gathers(parts.cat_dirty_idx[j])
-                        for j in cat_null_cols)
+    # SHARD-LOCAL union of dirty rows (all imputed columns), padded to a
+    # common pow2 width — gathered once per dispatch into each shard's
+    # compact sub-table (see mice_loop_sharded_delta)
+    all_dirty = ([parts.num_dirty_idx[j] for j in num_null_cols]
+                 + [parts.cat_dirty_idx[j] for j in cat_null_cols])
+    union = (np.unique(np.concatenate(
+        [np.asarray(ix, np.int64) for ix in all_dirty]))
+        if all_dirty else np.zeros((0,), np.int64))
+    per = [union[(union >= s * m) & (union < (s + 1) * m)] - s * m
+           for s in range(ndev)]
+    width = max(max((len(p) for p in per), default=0), 1)
+    width = 1 << (width - 1).bit_length()
+    union_i = np.zeros((ndev, width), np.int64)
+    union_v = np.zeros((ndev, width), np.float32)
+    for s, pidx in enumerate(per):
+        union_i[s, :len(pidx)] = pidx
+        union_v[s, :len(pidx)] = 1.0
 
     def padded(a, fill=0):
         if pad == 0:
@@ -448,15 +459,13 @@ def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
     shard_sh = NamedSharding(mesh, P(axis, None))
     x = jax.device_put(padded(t.num_data), col_sh)
     c = jax.device_put(padded(t.cat_codes), col_sh)
+    nn = jax.device_put(padded(t.num_null), col_sh)
+    cn = jax.device_put(padded(t.cat_null), col_sh)
     valid = jax.device_put(
         np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)]),
         NamedSharding(mesh, P(axis)))
-    num_gathers = tuple((jax.device_put(i, shard_sh),
-                         jax.device_put(v, shard_sh))
-                        for i, v in num_gathers)
-    cat_gathers = tuple((jax.device_put(i, shard_sh),
-                         jax.device_put(v, shard_sh))
-                        for i, v in cat_gathers)
+    union_i = jax.device_put(jnp.asarray(union_i), shard_sh)
+    union_v = jax.device_put(jnp.asarray(union_v), shard_sh)
 
     loop_kw = dict(
         schema=schema, mesh=mesh,
@@ -467,7 +476,7 @@ def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
     key = jax.random.PRNGKey(seed)
     if checkpoint_path is None:
         x_out, c_out = mice_loop_sharded_delta(
-            x, c, valid, key, num_gathers, cat_gathers, iters=iters,
+            x, c, nn, cn, valid, key, union_i, union_v, iters=iters,
             **loop_kw)
     else:
         from ..utils.checkpoint import MiceCheckpointer
@@ -484,7 +493,7 @@ def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
         for r0 in range(start, iters, checkpoint_every):
             k_rounds = min(checkpoint_every, iters - r0)
             x_out, c_out = mice_loop_sharded_delta(
-                x_out, c_out, valid, key, num_gathers, cat_gathers,
+                x_out, c_out, nn, cn, valid, key, union_i, union_v,
                 iters=k_rounds, round_offset=r0, **loop_kw)
             ckpt(dataclasses.replace(
                 t, num_data=x_out[:, :n], cat_codes=c_out[:, :n]),

@@ -230,24 +230,27 @@ def _globg(a):
     return mhu.host_local_array_to_global_array(local, mesh, P("data", None))
 
 
-ngi, ngv = _shard_gathers(parts.num_dirty_idx[1], ndev)
-cgi, cgv = _shard_gathers(parts.cat_dirty_idx[0], ndev)
+# shard-local UNION of dirty rows (compact delta form)
+union_all = np.unique(np.concatenate(
+    [np.asarray(parts.num_dirty_idx[1], np.int64),
+     np.asarray(parts.cat_dirty_idx[0], np.int64)]))
+ugi, ugv = _shard_gathers(union_all, ndev)
 xd, cd = mice_loop_sharded_delta(
-    xg2, cg2,
+    xg2, cg2, _glob(nn_all, P(None, "data")),
+    _glob(cn_all, P(None, "data")),
     mhu.host_local_array_to_global_array(valid_f[lo2:lo2 + per], mesh,
                                          P("data")),
-    jax.random.PRNGKey(7), ((_globg(ngi), _globg(ngv)),),
-    ((_globg(cgi), _globg(cgv)),), mesh=mesh, **mice_kw)
+    jax.random.PRNGKey(7), _globg(ugi), _globg(ugv),
+    mesh=mesh, **mice_kw)
 xd_loc = np.asarray(mhu.global_array_to_host_local_array(
     xd, mesh, P(None, "data")))
 
-ngi1, ngv1 = _shard_gathers(parts.num_dirty_idx[1], 1)
-cgi1, cgv1 = _shard_gathers(parts.cat_dirty_idx[0], 1)
+ugi1, ugv1 = _shard_gathers(union_all, 1)
 xd1, cd1 = mice_loop_sharded_delta(
     _lput(x_f, P(None, "data")), _lput(c_f, P(None, "data")),
+    _lput(nn_all, P(None, "data")), _lput(cn_all, P(None, "data")),
     _lput(valid_f, P("data")), jax.random.PRNGKey(7),
-    ((_lput(ngi1, P("data", None)), _lput(ngv1, P("data", None))),),
-    ((_lput(cgi1, P("data", None)), _lput(cgv1, P("data", None))),),
+    _lput(ugi1, P("data", None)), _lput(ugv1, P("data", None)),
     mesh=lmesh, **mice_kw)
 np.testing.assert_allclose(xd_loc, np.asarray(xd1)[:, lo2:lo2 + per],
                            rtol=2e-3, atol=2e-3)
