@@ -663,15 +663,21 @@ def bench_wide_v(vocab_totals=(8192, 16384), n=262_144):
     return out
 
 
-def bench_streaming(n_rows=100_000_000, block_rows=2_097_152, miss=0.01,
+def bench_streaming(n_rows=None, block_rows=2_097_152, miss=0.01,
                     workdir="/tmp/dbi_stream_bench"):
-    """Out-of-core MICE measured (round-4 verdict ask #2): write a ≥100M-row
-    CSV to disk, then time (a) the pure parse pass, (b) `impute_csv_stream`
-    END-TO-END — two streaming read passes (vocab/dirty scan + the
-    extended-Gram device fold), the delta rounds over the dirty cache, and
-    the native streaming write-out — with the per-phase split, and (c) the
-    disk-spill path (dirty_budget_rows) at 10M rows. The streaming analogue
-    of sum_no_lift.cpp:53-216 + partition.cpp:671-719.
+    """Out-of-core MICE measured (round-4 verdict ask #2): write a
+    many-million-row CSV to disk, then time (a) the pure parse pass, (b)
+    `impute_csv_stream` END-TO-END — two streaming read passes (vocab/dirty
+    scan + the extended-Gram device fold), the delta rounds over the dirty
+    cache, and the native streaming write-out — with the per-phase split,
+    and (c) the disk-spill path (dirty_budget_rows) at 10M rows. The
+    streaming analogue of sum_no_lift.cpp:53-216 + partition.cpp:671-719.
+
+    Default 25M rows so the whole bench stays inside the driver's budget;
+    DBI_BENCH_STREAM_ROWS=100000000 reproduces the 100M-row measurement
+    recorded in BENCH.md (same machine, ~19 min end-to-end — wall time is
+    parse- and host→device-transfer-bound on this 2-core box with a
+    tunneled TPU, not device-bound).
 
     Returns a metrics dict (all times seconds)."""
     import os
@@ -683,6 +689,8 @@ def bench_streaming(n_rows=100_000_000, block_rows=2_097_152, miss=0.01,
                                                     format_csv_block)
     from duckdb_imputation_tpu.utils.profiling import PhaseTimer
 
+    if n_rows is None:
+        n_rows = int(os.environ.get("DBI_BENCH_STREAM_ROWS", 25_000_000))
     os.makedirs(workdir, exist_ok=True)
     path = os.path.join(workdir, "in.csv")
     out_path = os.path.join(workdir, "out.csv")
