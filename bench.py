@@ -142,15 +142,21 @@ def bench_tpu(schema):
     @functools.partial(jax.jit, static_argnames=("iters", "fast"))
     def loop(x, c, w, iters: int, fast: bool = True):
         # masks are binary -> the split-precision v3 compact kernel applies
-        def body(i, acc):
+        def body(i, carry):
+            acc, wc = carry
             # vary the input per iteration so XLA cannot hoist/CSE the
-            # kernel out of the loop (would fake the slope measurement)
-            wi = w + 1e-9 * i.astype(jnp.float32)
-            s = (sigma_pallas_fast3(x, c, wi, schema=schema) if fast
-                 else sigma_pallas(x, c, wi, schema=schema))
-            return acc + s
-        return jax.lax.fori_loop(0, iters, body,
-                                 jnp.zeros((p, p), jnp.float32))
+            # kernel out of the loop — by updating 8 ELEMENTS of the
+            # carry-held weights in place. The round-4 form (w + 1e-9*i)
+            # added a full 33 MB elementwise pass per iteration that a
+            # profiler trace showed costing 0.045 ms/iter — 11% of the
+            # reading, charged to the kernel. 8 in-place lanes cost ~0.
+            wc = jax.lax.dynamic_update_slice(
+                wc, wc[:8] + 1e-12 * i.astype(jnp.float32), (0,))
+            s = (sigma_pallas_fast3(x, c, wc, schema=schema) if fast
+                 else sigma_pallas(x, c, wc, schema=schema))
+            return acc + s, wc
+        return jax.lax.fori_loop(
+            0, iters, body, (jnp.zeros((p, p), jnp.float32), w))[0]
 
     per = slope_time(lambda k: np.asarray(loop(x, c, w, iters=k)),
                      8, 128, k_max=16384, tag="headline_4_2")
@@ -238,13 +244,15 @@ def bench_numeric_4_0(n=1_024_000):
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(x, w, iters: int):
-        def body(i, acc):
-            s = sigma_pallas_fast3(x, jnp.zeros((0, n), jnp.int32),
-                                   w + 1e-9 * i.astype(jnp.float32),
+        def body(i, carry):
+            acc, wc = carry     # 8-lane in-place carry perturbation — a
+            wc = jax.lax.dynamic_update_slice(   # full-array w+eps pass
+                wc, wc[:8] + 1e-12 * i.astype(jnp.float32), (0,))
+            s = sigma_pallas_fast3(x, jnp.zeros((0, n), jnp.int32), wc,
                                    schema=schema)
-            return acc + s
-        return jax.lax.fori_loop(0, iters, body,
-                                 jnp.zeros((p, p), jnp.float32))
+            return acc + s, wc
+        return jax.lax.fori_loop(
+            0, iters, body, (jnp.zeros((p, p), jnp.float32), w))[0]
 
     per = slope_time(lambda k: np.asarray(loop(x, w, iters=k)), 16, 256,
                      tag="numeric_4_0")
@@ -284,16 +292,17 @@ def bench_nb_grouped(n=10_000_000, groups=5):
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(x, c, w, g, iters: int):
-        def body(i, acc):
-            # binary-mask fast path (GROUP BY label); the 1e-9 perturbation
-            # defeats loop hoisting and rounds away inside the kernel
+        def body(i, carry):
+            acc, wc = carry     # 8-lane in-place carry perturbation
+            wc = jax.lax.dynamic_update_slice(
+                wc, wc[:8] + 1e-12 * i.astype(jnp.float32), (0,))
             s = _nb_grouped_pallas(
-                x, c, w + 1e-9 * i.astype(jnp.float32), g, schema=schema,
+                x, c, wc, g, schema=schema,
                 num_groups=groups, chunk_cols=32768, fast=True)
-            return acc + s
+            return acc + s, wc
         f = 1 + 16 + schema.vocab_size
-        return jax.lax.fori_loop(0, iters, body,
-                                 jnp.zeros((groups, f), jnp.float32))
+        return jax.lax.fori_loop(
+            0, iters, body, (jnp.zeros((groups, f), jnp.float32), w))[0]
 
     per = slope_time(lambda k: np.asarray(loop(x, c, w, g, iters=k)), 4, 44,
                      tag="nb_grouped_8_4")
@@ -354,27 +363,34 @@ def bench_qda_grouped_skewed(schema, n=10_000_000, groups=8):
             x, c, w, g, num_groups=groups, block=block_s, n_total=n_total,
             d=d_num, c=d_cat)
 
-        def body_public(i, acc):
+        def perturb(wc, i):     # 8-lane in-place carry perturbation
+            return jax.lax.dynamic_update_slice(
+                wc, wc[:8] + 1e-12 * i.astype(jnp.float32), (0,))
+
+        def body_public(i, carry):
             # the public one-shot method='pallas' dispatch at G=8: v3
             # unsorted compact split-precision kernel (packed array built
-            # once, one MXU pass per group), zero prep (weights perturbed
-            # to defeat loop hoisting; rounds away in the bf16 fold)
+            # once, one MXU pass per group), zero prep
+            acc, wc = carry
+            wc = perturb(wc, i)
             s = _sigma_pallas_grouped_unsorted_fast3(
-                x, c, w + 1e-9 * i.astype(jnp.float32), g, schema=schema,
+                x, c, wc, g, schema=schema,
                 num_groups=groups, chunk_cols=chunk_u)
-            return acc + jnp.sum(s, axis=0)
+            return acc + jnp.sum(s, axis=0), wc
 
-        def body_presorted(i, acc):
+        def body_presorted(i, carry):
             # the sort_by_group(fast=True)-once repeated-call pattern:
             # v3 split-precision sorted-slab kernel, grouping costs nothing
+            acc, wc = carry
+            wc = perturb(wc, i)
             s = _sigma_pallas_grouped_fast3_padded(
-                x_s, c_s, w_s + 1e-9 * i.astype(jnp.float32), gmap, first,
+                x_s, c_s, wc, gmap, first,
                 schema=schema, num_groups=groups + 1, chunk_cols=chunk_s)
-            return acc + jnp.sum(s[:groups], axis=0)
+            return acc + jnp.sum(s[:groups], axis=0), wc
 
-        return jax.lax.fori_loop(0, iters,
-                                 body_presorted if presorted else body_public,
-                                 jnp.zeros((p, p), jnp.float32))
+        return jax.lax.fori_loop(
+            0, iters, body_presorted if presorted else body_public,
+            (jnp.zeros((p, p), jnp.float32), w_s if presorted else w))[0]
 
     rates = []
     for presorted in (False, True):
@@ -571,10 +587,12 @@ def bench_qda_pipeline(schema, n=10_000_000, groups=8):
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def pipeline(x, c, w, g, iters: int):
-        def body(i, acc):
-            wi = w + 1e-9 * i.astype(jnp.float32)
+        def body(i, carry):
+            acc, wc = carry     # 8-lane in-place carry perturbation
+            wc = jax.lax.dynamic_update_slice(
+                wc, wc[:8] + 1e-12 * i.astype(jnp.float32), (0,))
             sigmas = _sigma_pallas_grouped_unsorted_fast3(
-                x, c, wi, g, schema=schema, num_groups=groups,
+                x, c, wc, g, schema=schema, num_groups=groups,
                 chunk_cols=chunk_u)                      # [G, P, P]
             quad, lin, b = qda_train_device(
                 sigmas, jnp.asarray(float(n), jnp.float32), 1)
