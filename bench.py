@@ -615,8 +615,8 @@ def bench_qda_pipeline(schema, n=10_000_000, groups=8):
             best0 = jnp.full((n,), -jnp.inf, jnp.float32)
             _, pred = jax.lax.fori_loop(
                 0, groups, one_class, (best0, jnp.zeros((n,), jnp.int32)))
-            return acc + jnp.sum(pred[:8])
-        return jax.lax.fori_loop(0, iters, body, jnp.int32(0))
+            return acc + jnp.sum(pred[:8]), wc
+        return jax.lax.fori_loop(0, iters, body, (jnp.int32(0), w))[0]
 
     per = slope_time(lambda k: np.asarray(pipeline(x, c, w, g, iters=k)),
                      2, 8, k_max=64, tag="qda_pipeline")
@@ -839,12 +839,18 @@ def main():
         extras["mice_round_ms_10M_rows_unfused"] = round(
             bench_mice_round(schema, fused=False) * 1e3, 1)
         # delta-MICE per-round time vs dirty fraction (verdict r4 ask #3)
-        for frac, per in bench_mice_delta(schema).items():
-            extras[f"mice_delta_round_ms_10M_{int(frac * 100)}pct_dirty"] \
-                = round(per * 1e3, 2)
+        try:
+            for frac, per in bench_mice_delta(schema).items():
+                extras[f"mice_delta_round_ms_10M_"
+                       f"{int(frac * 100)}pct_dirty"] = round(per * 1e3, 2)
+        except Exception as e:
+            log(f"delta bench failed: {str(e)[:200]}")
         # config-4 completion: agg + train + batched predict end-to-end
-        qda_pipe_s, qda_pipe_n = bench_qda_pipeline(schema)
-        extras["qda_pipeline_ms_10M"] = round(qda_pipe_s * 1e3, 1)
+        try:
+            qda_pipe_s, qda_pipe_n = bench_qda_pipeline(schema)
+            extras["qda_pipeline_ms_10M"] = round(qda_pipe_s * 1e3, 1)
+        except Exception as e:
+            log(f"qda pipeline bench failed: {str(e)[:200]}")
         # wide-V striped sigma at V=8k/16k (verdict r4 ask #5)
         try:
             extras.update(bench_wide_v())

@@ -34,16 +34,22 @@ def cmd_impute(args):
 
     t = read_csv(args.csv)
     timer = PhaseTimer(verbose=args.verbose)
-    if args.mode in ("device", "fused"):
+    if args.mode in ("device", "fused", "delta"):
         # the single-dispatch on-device loop (whole MICE run = one XLA
         # program); 'fused' chains the impute+aggregate Pallas kernel
-        # (2 table passes per round; stochastic noise drawn in-kernel)
-        from .mice.device_round import run_mice_device
+        # (2 table passes per round; stochastic noise drawn in-kernel);
+        # 'delta' runs the compact-union O(dirty) rounds (fastest at low
+        # missing rates — the reference's run_MICE_low strategy on device)
+        from .mice.device_round import run_mice_device, run_mice_device_delta
 
         with timer.phase("mice_device"):
-            out = run_mice_device(
-                t, iters=args.iters, noise=not args.no_noise,
-                kernel="pallas_fused" if args.mode == "fused" else "auto")
+            if args.mode == "delta":
+                out = run_mice_device_delta(
+                    t, iters=args.iters, noise=not args.no_noise)
+            else:
+                out = run_mice_device(
+                    t, iters=args.iters, noise=not args.no_noise,
+                    kernel="pallas_fused" if args.mode == "fused" else "auto")
     else:
         runner = {"baseline": run_mice_baseline, "low": run_mice_low,
                   "high": run_mice_high}[args.mode]
@@ -354,7 +360,7 @@ def main(argv=None):
     p.add_argument("--out", default="imputed.csv")
     p.add_argument("--mode",
                    choices=["baseline", "low", "high", "stream", "device",
-                            "fused"],
+                            "fused", "delta"],
                    default="low",
                    help="stream = out-of-core: chunked two-pass streaming "
                         "aggregation + delta rounds over the dirty cache; "
@@ -364,7 +370,9 @@ def main(argv=None):
                         "impute+aggregate kernel (2 table passes/round; "
                         "in-kernel noise needs the v3 layout — schemas "
                         "that dispatch the v2 fused layout fall back to "
-                        "the unfused device loop unless --no-noise)")
+                        "the unfused device loop unless --no-noise); "
+                        "delta = single-dispatch compact-union O(dirty) "
+                        "rounds (fastest at low missing rates)")
     p.add_argument("--block-mb", type=int, default=64,
                    help="streamed block size (stream mode)")
     p.add_argument("--dirty-budget-rows", type=int, default=None,
