@@ -560,12 +560,14 @@ def bench_qda_pipeline(schema, n=10_000_000, groups=8):
     import jax
     import jax.numpy as jnp
 
-    from duckdb_imputation_tpu.models.device import qda_train_device
+    from duckdb_imputation_tpu.models.device import (
+        qda_predict_device,
+        qda_train_device,
+    )
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas import _sizing_fast3
     from duckdb_imputation_tpu.ring.kernels.sigma_pallas_grouped import (
         _sigma_pallas_grouped_unsorted_fast3,
     )
-    from duckdb_imputation_tpu.ring.sum import _zt_block
 
     pack3 = _sizing_fast3(schema)[3]
     chunk_u = 8192
@@ -596,25 +598,9 @@ def bench_qda_pipeline(schema, n=10_000_000, groups=8):
                 chunk_cols=chunk_u)                      # [G, P, P]
             quad, lin, b = qda_train_device(
                 sigmas, jnp.asarray(float(n), jnp.float32), 1)
-            zt = _zt_block(x, c, schema)[1:]             # [m, n]
-
-            # scores_c = diag(Zᵀ quad_c Z) + lin_c·Z + b_c, streamed per
-            # class (a [C, m, n] einsum intermediate would be 6.4 GB)
-            def one_class(cc, carry):
-                best, idx = carry
-                qz = jax.lax.dynamic_index_in_dim(
-                    quad, cc, keepdims=False) @ zt       # [m, n]
-                s = (jnp.sum(zt * qz, axis=0)
-                     + jax.lax.dynamic_index_in_dim(
-                         lin, cc, keepdims=False) @ zt
-                     + jax.lax.dynamic_index_in_dim(b, cc))
-                better = s > best
-                return (jnp.where(better, s, best),
-                        jnp.where(better, cc, idx))
-
-            best0 = jnp.full((n,), -jnp.inf, jnp.float32)
-            _, pred = jax.lax.fori_loop(
-                0, groups, one_class, (best0, jnp.zeros((n,), jnp.int32)))
+            # batched Cholesky-factored scoring (models.device): the
+            # square-reduce fuses into the per-class matmul output
+            pred = qda_predict_device(quad, lin, b, x, c, schema=schema)
             return acc + jnp.sum(pred[:8]), wc
         return jax.lax.fori_loop(0, iters, body, (jnp.int32(0), w))[0]
 
@@ -752,12 +738,14 @@ def bench_streaming(n_rows=None, block_rows=2_097_152, miss=0.01,
     timer = PhaseTimer()
     t0 = time.perf_counter()
     impute_csv_stream(path, out_path, iters=3, noise=False,
-                      linreg_iters=1000, block_bytes=128 << 20, timer=timer)
+                      block_bytes=128 << 20, timer=timer,
+                      engine="device")   # the production on-device rounds
     e2e_s = time.perf_counter() - t0
     ph = timer.summary()
-    round_s = sum(ph.get(k, 0.0) for k in
-                  ("cofactor_delta", "train", "impute",
-                   "cofactor_readd")) / 3.0
+    round_s = (ph.get("delta_rounds_device", 0.0)
+               + sum(ph.get(k, 0.0) for k in
+                     ("cofactor_delta", "train", "impute",
+                      "cofactor_readd"))) / 3.0
     log(f"impute_csv_stream @{n_rows}: {e2e_s:.1f}s end-to-end "
         f"({n_rows / e2e_s / 1e6:.1f}M rows/s); phases: "
         + ", ".join(f"{k}={v:.1f}s" for k, v in sorted(ph.items())))

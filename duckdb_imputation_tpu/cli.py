@@ -26,7 +26,8 @@ def cmd_impute(args):
             args.csv, args.out, iters=args.iters, noise=not args.no_noise,
             linreg_iters=args.linreg_iters, timer=timer,
             block_bytes=args.block_mb << 20,
-            dirty_budget_rows=args.dirty_budget_rows)
+            dirty_budget_rows=args.dirty_budget_rows,
+            engine=args.engine)
         print(timer.report(), file=sys.stderr)
         print(f"wrote {args.out} ({res.ss.n_rows} rows, "
               f"{len(res.idx)} dirty)", file=sys.stderr)
@@ -373,6 +374,10 @@ def main(argv=None):
                         "the unfused device loop unless --no-noise); "
                         "delta = single-dispatch compact-union O(dirty) "
                         "rounds (fastest at low missing rates)")
+    p.add_argument("--engine", choices=["host", "device"], default="host",
+                   help="stream mode rounds: host = f64 GD parity path; "
+                        "device = compact-union device delta loop (every "
+                        "round one dispatch — the fast path)")
     p.add_argument("--block-mb", type=int, default=64,
                    help="streamed block size (stream mode)")
     p.add_argument("--dirty-budget-rows", type=int, default=None,

@@ -579,14 +579,14 @@ def _delta_round_columns(xc, cc, k, full, nn_c, cn_c, w_valid, gidx, *,
                      "trainer"),
     donate_argnames=("x_num", "codes"))
 def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
-                           union_idx, union_valid, *,
+                           union_idx, union_valid, full_sigma=None, *,
                            schema: FeatureSchema,
                            num_cols_to_impute: tuple[int, ...],
                            cat_cols_to_impute: tuple[int, ...],
                            iters, gd_iters: int = 500,
                            lda_shrinkage: float = 0.001,
                            noise: bool = False, kernel: str = "xla",
-                           trainer: str = "solve"):
+                           trainer: str = "solve", round_offset=0):
     """The low-missing delta strategy (imputation_low.cpp) fused on-device:
     ONE full aggregation up front, ONE gather of the union-of-dirty-rows
     compact sub-table, then every round runs entirely compact:
@@ -599,11 +599,19 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
     union_idx i64[K] (pad-aliased to row 0), union_valid f32[K].
     Work per round: O(K = |union dirty|), sequential-access only — see
     _delta_round_columns for why the per-round gather variant lost to the
-    full rescan."""
+    full rescan.
+
+    full_sigma: optionally the [P, P] FULL-data sigma computed elsewhere
+    (the out-of-core streaming pass — the table here may then be ONLY the
+    dirty cache, whose clean-row mass lives inside full_sigma; the delta
+    algebra never references clean rows except through `full`).
+    round_offset: global index of the first round (noise keys fold it, so
+    checkpointed runs resume onto the identical stream)."""
     agg = _make_delta_agg(kernel, schema)
     n = x_num.shape[-1] if schema.num_cols else codes.shape[-1]
     x_cols0, code_cols0 = _to_cols(x_num, codes, schema)
-    full0 = agg(x_cols0, code_cols0, jnp.ones((n,), jnp.float32))
+    full0 = (full_sigma if full_sigma is not None
+             else agg(x_cols0, code_cols0, jnp.ones((n,), jnp.float32)))
 
     xc0 = tuple(a[union_idx] for a in x_cols0)
     cc0 = tuple(a[union_idx] for a in code_cols0)
@@ -622,7 +630,7 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
         return xc, cc, kk, full
 
     xc, cc, _, _ = jax.lax.fori_loop(
-        0, iters, body, (xc0, cc0, key, full0))
+        round_offset, round_offset + iters, body, (xc0, cc0, key, full0))
 
     # write-back: one scatter-ADD per imputed column (pad indices alias
     # row 0 with valid 0 => exact no-op; untouched compact cells add 0)

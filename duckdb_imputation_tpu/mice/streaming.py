@@ -226,6 +226,71 @@ def run_delta_rounds_spill(spill: DirtySpill, full, ss: StreamSchema, *,
     return full
 
 
+def _run_delta_rounds_device(t: Table, full, ss: StreamSchema, *, iters,
+                             lda_shrinkage, noise, seed, timer,
+                             ckpt=None, idx=None, fills=None,
+                             start_iter: int = 0):
+    """The streaming delta rounds as ONE device dispatch (or one per
+    checkpoint chunk): the dirty cache IS a compact union sub-table, so
+    `mice_loop_device_delta` runs directly on it with the STREAMED full
+    sigma injected (`full_sigma=` — the clean rows' mass enters only
+    through it; imputation_low.cpp's algebra verbatim). Replaces the
+    host-driven rounds' per-phase dispatch latency (~18 s/round at 1M
+    dirty rows through this tunnel) with on-device microseconds. f32
+    solve trainer; noise is the device counter stream (differs from the
+    host engine's per-(round, column) fold — same distribution)."""
+    import dataclasses
+
+    import jax
+
+    from ..ring.triple import sigma_from_triple, triple_from_sigma
+    from .device_round import (_kernel_block, build_union_gather,
+                               mice_loop_device_delta)
+
+    schema = ss.schema
+    kernel = ("pallas_fast" if (jax.default_backend() not in ("cpu",)
+                                and t.n_rows >= (1 << 20)) else "xla")
+    blk = _kernel_block(kernel, schema)
+    union_idx, union_valid = build_union_gather(
+        [np.arange(t.n_rows, dtype=np.int64)], t.n_rows, blk)
+    sigma_full0 = jnp.asarray(sigma_from_triple(full), jnp.float32)
+    num_cols = tuple(ss.nullable_num)
+    cat_cols = tuple(ss.nullable_cat)
+    key = jax.random.PRNGKey(seed)
+
+    def run_rounds(tc, sigma_full, r0, k_rounds):
+        with timer.phase("delta_rounds_device"):
+            x, c, _ = mice_loop_device_delta(
+                tc.num_data, tc.cat_codes, tc.num_null, tc.cat_null, key,
+                union_idx, union_valid, sigma_full, schema=schema,
+                num_cols_to_impute=num_cols, cat_cols_to_impute=cat_cols,
+                iters=k_rounds, lda_shrinkage=lda_shrinkage, noise=noise,
+                kernel=kernel, trainer="solve", round_offset=r0)
+        return dataclasses.replace(tc, num_data=x, cat_codes=c)
+
+    if ckpt is None:
+        return run_rounds(t, sigma_full0, start_iter, iters - start_iter)
+
+    # checkpointed: per-chunk, the current full sigma is reconstructed
+    # from the ring identity  full = full_init − σ(cache_init) + σ(cache)
+    from ..ring.sum import masked_sigma
+    w_rows = np.asarray(union_valid)[:t.n_rows].astype(np.float32)
+    sig0_cache = masked_sigma(t.num_data, t.cat_codes,
+                              jnp.asarray(w_rows), schema=schema)
+    cur = t
+    for it in range(start_iter, iters):
+        sig_cur = masked_sigma(cur.num_data, cur.cat_codes,
+                               jnp.asarray(w_rows), schema=schema)
+        cur = run_rounds(cur, sigma_full0 - sig0_cache + sig_cur, it, 1)
+        full_cur = triple_from_sigma(
+            jnp.asarray(sigma_full0 - sig0_cache
+                        + masked_sigma(cur.num_data, cur.cat_codes,
+                                       jnp.asarray(w_rows), schema=schema),
+                        jnp.float32), schema.num_cols)
+        ckpt.save(cur, full_cur, idx, fills, ss, it + 1)
+    return cur
+
+
 def run_mice_stream(chunk_source, iters: int = 5, *,
                     chunk_rows: int | None = None,
                     lda_shrinkage: float = 0.001,
@@ -233,7 +298,8 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
                     linreg_iters: int = 10000, noise: bool = True,
                     seed: int = 0, timer: PhaseTimer | None = None,
                     mesh=None, dirty_budget_rows: int | None = None,
-                    checkpoint_path: str | None = None) -> StreamImputation:
+                    checkpoint_path: str | None = None,
+                    engine: str = "host") -> StreamImputation:
     """MICE over a chunk stream (callable → iterator of ring.streaming.Chunk
     or (num, cat[, num_null, cat_null]) tuples). See module docstring.
     With `mesh`, the streaming Gram pass row-shards each chunk over the
@@ -247,7 +313,13 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
     every delta round — O(dirty), never O(n) — and RESUME from it: a killed
     run skips both streaming read passes and continues the identical
     trajectory (noise keys fold global rounds). In-core cache only; the
-    spill path's state already lives on disk."""
+    spill path's state already lives on disk.
+
+    engine: 'host' (default) — the f64 host-driven rounds with the
+    reference's GD trainer, the parity path; 'device' — the compact-union
+    device delta loop on the dirty cache with the streamed full sigma
+    injected: every round is on-device (ms instead of the host path's
+    per-phase dispatch latency), f32 solve trainer, device noise stream."""
     timer = timer or PhaseTimer()
     ckpt = None
     if checkpoint_path is not None:
@@ -256,6 +328,13 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
         resumed = ckpt.resume()
         if resumed is not None:
             t, full, idx, fills, ss, start_iter = resumed
+            if engine == "device":
+                t = _run_delta_rounds_device(
+                    t, full, ss, iters=iters, lda_shrinkage=lda_shrinkage,
+                    noise=noise, seed=seed, timer=timer, ckpt=ckpt,
+                    idx=idx, fills=fills, start_iter=start_iter)
+                return StreamImputation(dirty=t, idx=idx, fills=fills,
+                                        ss=ss)
             with timer.phase("prepare"):
                 parts = build_partitions(t)
             for it in range(start_iter, iters):
@@ -284,6 +363,13 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
                                 fills=fills, ss=ss, spill=cache)
     with timer.phase("prepare"):
         t = _dirty_table(cache, ss, fills)
+    if engine == "device":
+        t = _run_delta_rounds_device(
+            t, full, ss, iters=iters, lda_shrinkage=lda_shrinkage,
+            noise=noise, seed=seed, timer=timer, ckpt=ckpt,
+            idx=cache.idx, fills=fills)
+        return StreamImputation(dirty=t, idx=cache.idx, fills=fills, ss=ss)
+    with timer.phase("prepare"):
         parts = build_partitions(t)
     if ckpt is None:
         t, _ = run_delta_rounds(

@@ -541,3 +541,34 @@ def test_mice_sharded_fused_matches_single_device_fused():
     # observed cells untouched by either path
     np.testing.assert_array_equal(xs[0], x[0])
     np.testing.assert_array_equal(xs[1][~nn[1]], x[1][~nn[1]])
+
+
+def test_qda_predict_device_matches_host(table):
+    """Batched device QDA predict (Cholesky-factored scoring) agrees with
+    the host f64 predict on the same per-class triples."""
+    import jax.numpy as jnp
+    from duckdb_imputation_tpu.models import qda_predict, qda_train
+    from duckdb_imputation_tpu.models.device import (
+        qda_predict_device,
+        qda_train_device,
+    )
+    from duckdb_imputation_tpu.ring import sum_to_triple_grouped
+    from duckdb_imputation_tpu.ring.triple import sigma_from_triple
+
+    num, cat, g, w, schema = table
+    g5 = (g % 5).astype(np.int32)
+    s_num = FeatureSchema(num_cols=4)
+    triples = sum_to_triple_grouped(num.T, None, g5, schema=s_num,
+                                    num_groups=5)
+    labels = list(range(5))
+    params = qda_train(triples, s_num, labels)
+    want = np.asarray(qda_predict(params, num.T, None))
+
+    sigmas = sigma_from_triple(triples)
+    quad, lin, b = qda_train_device(jnp.asarray(sigmas),
+                                    jnp.asarray(float(len(g5))), 1)
+    got = np.asarray(qda_predict_device(
+        quad, lin, b, jnp.asarray(num.T),
+        jnp.zeros((0, num.shape[0]), jnp.int32), schema=s_num))
+    # host returns label VALUES (= indices here), device returns indices
+    assert (got == want).mean() > 0.999, (got[:20], want[:20])

@@ -251,3 +251,45 @@ def test_stream_mice_sharded_matches_single():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(r8.dirty.cat_codes),
                                   np.asarray(r1.dirty.cat_codes))
+
+
+def test_stream_device_engine_matches_host():
+    """engine='device' (the compact-union device delta loop fed the
+    STREAMED full sigma) reproduces the host-engine rounds' imputations
+    within f32-solve tolerance — the production out-of-core path."""
+    from duckdb_imputation_tpu.mice.streaming import run_mice_stream
+    from duckdb_imputation_tpu.ring.streaming import chunks_from_arrays
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    z0 = rng.normal(size=n).astype(np.float32)
+    z1 = rng.normal(size=n).astype(np.float32)
+    num = np.stack([z0, 2 * z0 + z1, rng.normal(size=n).astype(np.float32)])
+    cat = ((z0 > 0).astype(np.int64) * 3 + 4)[None, :]
+    nn = np.zeros((3, n), bool)
+    cn = np.zeros((1, n), bool)
+    nn[1, rng.random(n) < 0.1] = True
+    cn[0, rng.random(n) < 0.1] = True
+    raw = num.copy()
+    raw[nn] = np.nan
+    src = chunks_from_arrays(raw, cat, nn, cn, chunk_rows=512)
+
+    host = run_mice_stream(src, iters=3, noise=False, linreg_iters=3000,
+                           chunk_rows=512, engine="host")
+    dev = run_mice_stream(src, iters=3, noise=False, chunk_rows=512,
+                          engine="device")
+    np.testing.assert_array_equal(np.asarray(dev.dirty.cat_codes),
+                                  np.asarray(host.dirty.cat_codes))
+    np.testing.assert_allclose(np.asarray(dev.dirty.num_data),
+                               np.asarray(host.dirty.num_data),
+                               rtol=5e-3, atol=5e-3)
+    # and checkpoint resume on the device engine lands on the same values
+    import tempfile, os
+    path = os.path.join(tempfile.mkdtemp(), "dev.ckpt")
+    run_mice_stream(src, iters=1, noise=False, chunk_rows=512,
+                    engine="device", checkpoint_path=path)
+    resumed = run_mice_stream(src, iters=3, noise=False, chunk_rows=512,
+                              engine="device", checkpoint_path=path)
+    np.testing.assert_allclose(np.asarray(resumed.dirty.num_data),
+                               np.asarray(dev.dirty.num_data),
+                               rtol=5e-3, atol=5e-3)
