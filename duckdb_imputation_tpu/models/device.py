@@ -211,9 +211,8 @@ def nb_train_device(n, lin, quad_diag, lin_cat):
     return n / tot, mean, var, freqs
 
 
-@functools.partial(jax.jit, static_argnames=("schema",))
 def qda_predict_device(quad, lin, intercept, x_num, codes, *,
-                       schema) -> jax.Array:
+                       schema, method: str = "auto") -> jax.Array:
     """Batched device QDA scoring + argmax over ALL rows at once — the
     batched fix of the reference's row-at-a-time predict loop
     (qda.cpp:444-481, 3 dgemv per row·class; the author's own "batched
@@ -227,7 +226,26 @@ def qda_predict_device(quad, lin, intercept, x_num, codes, *,
     matmul's output on TPU instead of materializing the [m, n] product
     of the naive zᵀ(Qz) form (measured 37.8 → 27.6 ms @10M rows, C=8).
     Returns the argmax class INDEX i32[n] (callers map to label values
-    — the reference's QDA returns values, qda.cpp:483-486)."""
+    — the reference's QDA returns values, qda.cpp:483-486).
+
+    method: 'auto' — ONE-table-pass Pallas kernel (all classes scored per
+    tile; 6.6 ms @10M — ring.kernels.qda_pallas) on TPU for v3-layout
+    schemas, else the XLA form; 'xla' forces the streaming-per-class
+    form (exact f32 scores — the Pallas scorer is split-precision
+    ~1e-7, which can flip exact ties)."""
+    if method == "auto":
+        from ..ring.kernels.sigma_pallas import _fast_cols_use_v3
+        if (jax.default_backend() not in ("cpu",)
+                and _fast_cols_use_v3(schema)):
+            from ..ring.kernels.qda_pallas import qda_predict_pallas
+            return qda_predict_pallas(quad, lin, intercept, x_num, codes,
+                                      schema=schema)
+    return _qda_predict_xla(quad, lin, intercept, x_num, codes,
+                            schema=schema)
+
+
+@functools.partial(jax.jit, static_argnames=("schema",))
+def _qda_predict_xla(quad, lin, intercept, x_num, codes, *, schema):
     from ..ring.sum import _zt_block
 
     n = x_num.shape[-1] if schema.num_cols else codes.shape[-1]

@@ -370,3 +370,55 @@ def test_fused_impute_aggregate_loop_matches_unfused():
     # observed cells untouched
     np.testing.assert_array_equal(xf[0], x[0])
     np.testing.assert_array_equal(xf[1][~nn[1]], x[1][~nn[1]])
+
+
+def test_qda_predict_pallas_matches_device():
+    """One-pass batched QDA kernel == the XLA Cholesky-factored device
+    predict (same quad/lin/intercept; scores agree to split-precision, so
+    class argmax matches everywhere off exact ties)."""
+    import jax.numpy as jnp
+
+    from duckdb_imputation_tpu.models.device import qda_predict_device
+    from duckdb_imputation_tpu.ring.kernels.qda_pallas import (
+        qda_predict_pallas,
+    )
+    from duckdb_imputation_tpu.ring.kernels.sigma_pallas import (
+        _fast_cols_use_v3,
+        _sizing_fast3,
+    )
+
+    rng = np.random.default_rng(41)
+    schema = FeatureSchema(num_cols=2, cat_keys=((0, 1, 2), (0, 1)))
+    assert _fast_cols_use_v3(schema)
+    m = schema.sigma_size - 1
+    C = 4
+    chunk = 256
+    n = _sizing_fast3(schema)[3] * chunk * 2
+    x = rng.normal(size=(2, n)).astype(np.float32)
+    c = np.stack([rng.integers(0, 3, n),
+                  rng.integers(0, 2, n)]).astype(np.int32)
+    A = rng.normal(size=(C, m, m)).astype(np.float32) * 0.4
+    quad = -np.einsum("cij,ckj->cik", A, A) - 0.2 * np.eye(m,
+                                                           dtype=np.float32)
+    lin = rng.normal(size=(C, m)).astype(np.float32)
+    b = rng.normal(size=C).astype(np.float32)
+
+    want = np.asarray(qda_predict_device(
+        jnp.asarray(quad), jnp.asarray(lin), jnp.asarray(b),
+        jnp.asarray(x), jnp.asarray(c), schema=schema))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(qda_predict_pallas(
+            jnp.asarray(quad), jnp.asarray(lin), jnp.asarray(b),
+            jnp.asarray(x), jnp.asarray(c), schema=schema,
+            chunk_cols=chunk))
+    assert (got == want).mean() > 0.999, (got[:30], want[:30])
+
+    # ragged row count: zero-padded rows sliced off
+    n2 = n - 177
+    with pltpu.force_tpu_interpret_mode():
+        got2 = np.asarray(qda_predict_pallas(
+            jnp.asarray(quad), jnp.asarray(lin), jnp.asarray(b),
+            jnp.asarray(x[:, :n2]), jnp.asarray(c[:, :n2]), schema=schema,
+            chunk_cols=chunk))
+    assert got2.shape == (n2,)
+    np.testing.assert_array_equal(got2, got[:n2])
