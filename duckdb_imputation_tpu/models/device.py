@@ -12,6 +12,7 @@ import functools
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..ring.triple import Triple, sigma_from_triple
@@ -269,3 +270,39 @@ def _qda_predict_xla(quad, lin, intercept, x_num, codes, *, schema):
         0, quad.shape[0], one_class,
         (best0, jnp.zeros((n,), jnp.int32)))
     return pred
+
+
+def nb_predict_device(priors, mean, var, freqs, x_num, codes, *,
+                      schema, method: str = "auto") -> jax.Array:
+    """Batched device NB scoring + argmax — naive Bayes is QDA with a
+    DIAGONAL quadratic form, so this reuses qda_predict_device's
+    one-table-pass machinery: in log space
+
+        s_c = log prior_c + Σ_num [−(x−μ)²/2σ² − ½log(2πσ²)]
+                          + Σ_cat log freq_c[code]
+
+    maps onto (quad = diag(−1/2σ²) over the numeric slots, lin = μ/σ²
+    ‖ log freq over the one-hot slots, intercept = the x-free terms).
+    Inputs are nb_train_device's outputs ([C], [C, d], [C, d], [C, V]);
+    var gets the reference's +1e-9 (naive_bayes.cpp:222-227). Returns
+    the argmax class index i32[n].
+
+    Deviations from the host/reference path (documented miss
+    semantics): zero training frequency scores −1e30 (≙ probability 0)
+    and an UNSEEN predict-time category contributes nothing instead of
+    zeroing every class (the host path then falls back to class 0)."""
+    d = schema.num_cols
+    m = schema.sigma_size - 1
+    var = jnp.asarray(var, jnp.float32) + 1e-9
+    c_cls = priors.shape[0]
+    quad = jnp.zeros((c_cls, m, m), jnp.float32)
+    di = jnp.arange(d)
+    quad = quad.at[:, di, di].set(-0.5 / var)
+    log_freq = jnp.where(freqs > 0.0, jnp.log(jnp.maximum(freqs, 1e-38)),
+                         -1e30)
+    lin = jnp.concatenate([mean / var, log_freq], axis=1)    # [C, m]
+    icpt = (jnp.log(jnp.maximum(priors, 1e-38))
+            - 0.5 * jnp.sum(mean * mean / var
+                            + jnp.log(2.0 * np.pi * var), axis=1))
+    return qda_predict_device(quad, lin, icpt, x_num, codes,
+                              schema=schema, method=method)

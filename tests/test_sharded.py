@@ -572,3 +572,34 @@ def test_qda_predict_device_matches_host(table):
         jnp.zeros((0, num.shape[0]), jnp.int32), schema=s_num))
     # host returns label VALUES (= indices here), device returns indices
     assert (got == want).mean() > 0.999, (got[:20], want[:20])
+
+
+def test_nb_predict_device_matches_host(table):
+    """Device NB predict (QDA-with-diagonal-quad through the shared
+    batched scorer) agrees with the host probability-space predict on
+    in-vocab data (incl. categorical features)."""
+    import jax.numpy as jnp
+    from duckdb_imputation_tpu.models import NBParams, nb_predict, nb_train
+    from duckdb_imputation_tpu.models.device import (
+        nb_predict_device,
+        nb_train_device,
+    )
+    from duckdb_imputation_tpu.ring import sum_to_nb_agg_grouped
+
+    num, cat, g, w, schema = table
+    codes = schema.encode(cat).T
+    g5 = (g % 5).astype(np.int32)
+    labels = list(range(5))
+    aggs = sum_to_nb_agg_grouped(num.T, codes, g5, schema=schema,
+                                 num_groups=5)
+    params = nb_train(aggs, schema, labels)
+    want = np.asarray(nb_predict(params, num.T, codes))
+
+    pri, mean, var, freqs = nb_train_device(aggs.n, aggs.lin,
+                                            aggs.quad_diag, aggs.lin_cat)
+    got_idx = np.asarray(nb_predict_device(pri, mean, var, freqs,
+                                           jnp.asarray(num.T),
+                                           jnp.asarray(codes),
+                                           schema=schema))
+    got = np.asarray(labels)[got_idx]
+    assert (got == want).mean() > 0.999, (got[:20], want[:20])
