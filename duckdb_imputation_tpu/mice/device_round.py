@@ -648,7 +648,7 @@ def mice_loop_device_delta(x_num, codes, num_null, cat_null, key,
     return x_num, codes, key
 
 
-def build_union_gather(dirty_idx_lists, n, blk: int = 1):
+def build_union_gather(dirty_idx_lists, blk: int = 1):
     """Union of per-column dirty-row index lists -> (union_idx i64[K_pad],
     union_valid f32[K_pad]) with K_pad the next pow2 rounded up to the
     kernel block `blk` (compile-count O(log n), no per-call kernel pad)."""
@@ -694,7 +694,7 @@ def run_mice_device_delta(t: Table, num_null_cols=None, cat_null_cols=None,
     blk = _kernel_block(kernel, schema)
     union_idx, union_valid = build_union_gather(
         [parts.num_dirty_idx[j] for j in num_null_cols]
-        + [parts.cat_dirty_idx[j] for j in cat_null_cols], t.n_rows, blk)
+        + [parts.cat_dirty_idx[j] for j in cat_null_cols], blk)
 
     x, c, _ = mice_loop_device_delta(
         t.num_data, t.cat_codes, t.num_null, t.cat_null,

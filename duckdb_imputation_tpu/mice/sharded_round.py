@@ -197,6 +197,34 @@ def _mice_loop_sharded_fused(x_num, codes, num_null, cat_null, valid, key,
     return local(x_num, codes, num_null, cat_null, valid, key)
 
 
+
+def _checkpointed_rounds(t, x, c, n, iters, checkpoint_path,
+                         checkpoint_every, padded, col_sh, run_chunk):
+    """Shared round-boundary checkpoint driver for the sharded wrappers:
+    `run_chunk(x, c, iters, round_offset) -> (x_out, c_out)` runs a
+    dispatch of that many GLOBAL rounds; the table is persisted after
+    every chunk and a saved run resumes from its last completed round."""
+    from ..utils.checkpoint import MiceCheckpointer
+    ckpt = MiceCheckpointer(checkpoint_path)
+    start = 0
+    res = ckpt.resume()
+    if res is not None:
+        t_saved, start = res
+        if start >= iters:
+            return t_saved, None, None
+        x = jax.device_put(padded(t_saved.num_data), col_sh)
+        c = jax.device_put(padded(t_saved.cat_codes), col_sh)
+    x_out, c_out = x, c
+    for r0 in range(start, iters, checkpoint_every):
+        k_rounds = min(checkpoint_every, iters - r0)
+        x_out, c_out = run_chunk(x_out, c_out, k_rounds, r0)
+        ckpt(dataclasses.replace(
+            t, num_data=x_out[:, :n], cat_codes=c_out[:, :n]),
+            r0 + k_rounds - 1)
+    return None, x_out, c_out
+
+
+
 def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
                      iters: int = 5, *, mesh=None, gd_iters: int = 500,
                      lda_shrinkage: float = 0.001, noise: bool = False,
@@ -282,25 +310,14 @@ def run_mice_sharded(t: Table, num_null_cols=None, cat_null_cols=None,
         # SURVEY §5): rounds run in checkpoint_every-sized dispatches;
         # noise keys fold the GLOBAL round (round_offset), so the resumed
         # trajectory is bit-identical to the uninterrupted one
-        from ..utils.checkpoint import MiceCheckpointer
-        ckpt = MiceCheckpointer(checkpoint_path)
-        start = 0
-        res = ckpt.resume()
-        if res is not None:
-            t_saved, start = res
-            if start >= iters:
-                return t_saved
-            x = jax.device_put(padded(t_saved.num_data), col_sh)
-            c = jax.device_put(padded(t_saved.cat_codes), col_sh)
-        x_out, c_out = x, c
-        for r0 in range(start, iters, checkpoint_every):
-            k_rounds = min(checkpoint_every, iters - r0)
-            x_out, c_out = mice_loop_sharded(
-                x_out, c_out, nn, cn, valid, key, iters=k_rounds,
-                round_offset=r0, **loop_kw)
-            ckpt(dataclasses.replace(
-                t, num_data=x_out[:, :n], cat_codes=c_out[:, :n]),
-                r0 + k_rounds - 1)
+        done, x_out, c_out = _checkpointed_rounds(
+            t, x, c, n, iters, checkpoint_path, checkpoint_every,
+            padded, col_sh,
+            lambda xx, cc, k_rounds, r0: mice_loop_sharded(
+                xx, cc, nn, cn, valid, key, iters=k_rounds,
+                round_offset=r0, **loop_kw))
+        if done is not None:
+            return done
     # drop the pad rows ON DEVICE — no host round trip of the full table
     if pad:
         x_out = x_out[:, :n]
@@ -432,7 +449,9 @@ def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
 
     # SHARD-LOCAL union of dirty rows (all imputed columns), padded to a
     # common pow2 width — gathered once per dispatch into each shard's
-    # compact sub-table (see mice_loop_sharded_delta)
+    # compact sub-table (see mice_loop_sharded_delta); per shard this is
+    # build_union_gather's rule applied to the shard's slice
+    from .device_round import build_union_gather
     all_dirty = ([parts.num_dirty_idx[j] for j in num_null_cols]
                  + [parts.cat_dirty_idx[j] for j in cat_null_cols])
     union = (np.unique(np.concatenate(
@@ -440,8 +459,7 @@ def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
         if all_dirty else np.zeros((0,), np.int64))
     per = [union[(union >= s * m) & (union < (s + 1) * m)] - s * m
            for s in range(ndev)]
-    width = max(max((len(p) for p in per), default=0), 1)
-    width = 1 << (width - 1).bit_length()
+    width = max(len(build_union_gather([p2])[0]) for p2 in per)
     union_i = np.zeros((ndev, width), np.int64)
     union_v = np.zeros((ndev, width), np.float32)
     for s, pidx in enumerate(per):
@@ -479,25 +497,14 @@ def run_mice_sharded_delta(t: Table, num_null_cols=None, cat_null_cols=None,
             x, c, nn, cn, valid, key, union_i, union_v, iters=iters,
             **loop_kw)
     else:
-        from ..utils.checkpoint import MiceCheckpointer
-        ckpt = MiceCheckpointer(checkpoint_path)
-        start = 0
-        res = ckpt.resume()
-        if res is not None:
-            t_saved, start = res
-            if start >= iters:
-                return t_saved
-            x = jax.device_put(padded(t_saved.num_data), col_sh)
-            c = jax.device_put(padded(t_saved.cat_codes), col_sh)
-        x_out, c_out = x, c
-        for r0 in range(start, iters, checkpoint_every):
-            k_rounds = min(checkpoint_every, iters - r0)
-            x_out, c_out = mice_loop_sharded_delta(
-                x_out, c_out, nn, cn, valid, key, union_i, union_v,
-                iters=k_rounds, round_offset=r0, **loop_kw)
-            ckpt(dataclasses.replace(
-                t, num_data=x_out[:, :n], cat_codes=c_out[:, :n]),
-                r0 + k_rounds - 1)
+        done, x_out, c_out = _checkpointed_rounds(
+            t, x, c, n, iters, checkpoint_path, checkpoint_every,
+            padded, col_sh,
+            lambda xx, cc, k_rounds, r0: mice_loop_sharded_delta(
+                xx, cc, nn, cn, valid, key, union_i, union_v,
+                iters=k_rounds, round_offset=r0, **loop_kw))
+        if done is not None:
+            return done
     if pad:
         x_out = x_out[:, :n]
         c_out = c_out[:, :n]

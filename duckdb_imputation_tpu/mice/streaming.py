@@ -252,7 +252,7 @@ def _run_delta_rounds_device(t: Table, full, ss: StreamSchema, *, iters,
                                 and t.n_rows >= (1 << 20)) else "xla")
     blk = _kernel_block(kernel, schema)
     union_idx, union_valid = build_union_gather(
-        [np.arange(t.n_rows, dtype=np.int64)], t.n_rows, blk)
+        [np.arange(t.n_rows, dtype=np.int64)], blk)
     sigma_full0 = jnp.asarray(sigma_from_triple(full), jnp.float32)
     num_cols = tuple(ss.nullable_num)
     cat_cols = tuple(ss.nullable_cat)
@@ -272,21 +272,23 @@ def _run_delta_rounds_device(t: Table, full, ss: StreamSchema, *, iters,
         return run_rounds(t, sigma_full0, start_iter, iters - start_iter)
 
     # checkpointed: per-chunk, the current full sigma is reconstructed
-    # from the ring identity  full = full_init − σ(cache_init) + σ(cache)
+    # from the ring identity  full = full_init − σ(cache_init) + σ(cache);
+    # the post-round cache sigma is computed ONCE and carried into the
+    # next chunk as its pre-round sigma
     from ..ring.sum import masked_sigma
-    w_rows = np.asarray(union_valid)[:t.n_rows].astype(np.float32)
-    sig0_cache = masked_sigma(t.num_data, t.cat_codes,
-                              jnp.asarray(w_rows), schema=schema)
+    w_rows = jnp.asarray(
+        np.asarray(union_valid)[:t.n_rows].astype(np.float32))
+    sig0_cache = masked_sigma(t.num_data, t.cat_codes, w_rows,
+                              schema=schema)
     cur = t
+    sig_cur = sig0_cache
     for it in range(start_iter, iters):
-        sig_cur = masked_sigma(cur.num_data, cur.cat_codes,
-                               jnp.asarray(w_rows), schema=schema)
         cur = run_rounds(cur, sigma_full0 - sig0_cache + sig_cur, it, 1)
+        sig_cur = masked_sigma(cur.num_data, cur.cat_codes, w_rows,
+                               schema=schema)
         full_cur = triple_from_sigma(
-            jnp.asarray(sigma_full0 - sig0_cache
-                        + masked_sigma(cur.num_data, cur.cat_codes,
-                                       jnp.asarray(w_rows), schema=schema),
-                        jnp.float32), schema.num_cols)
+            jnp.asarray(sigma_full0 - sig0_cache + sig_cur, jnp.float32),
+            schema.num_cols)
         ckpt.save(cur, full_cur, idx, fills, ss, it + 1)
     return cur
 
@@ -351,6 +353,12 @@ def run_mice_stream(chunk_source, iters: int = 5, *,
             chunk_source, mesh=mesh, dirty_budget_rows=dirty_budget_rows,
             **kw)
     if isinstance(cache, DirtySpill):
+        if engine == "device":
+            import warnings
+            warnings.warn(
+                "the dirty cache spilled to disk; the device engine runs "
+                "in-core only — falling back to the host windowed spill "
+                "rounds (f64 GD trainer)", stacklevel=2)
         window = int(dirty_budget_rows)
         with timer.phase("prepare"):
             _spill_init_fill(cache, ss, fills, window)

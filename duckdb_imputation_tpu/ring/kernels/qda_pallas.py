@@ -83,7 +83,7 @@ def _score_mats(c_cls: int, r_pc: int, r_pad: int):
 
 
 def _qda_kernel(*refs, schema: FeatureSchema, n_scorers: int, c_cls: int,
-                nseg: int, bins, core: int, pack: int, chunk: int,
+                nseg: int, bins, pack: int, chunk: int,
                 width: int, tail_base: int, tail_rows: int):
     """refs = (x_0.., code_0.., lhs, sel, ssum, out_pred)."""
     d, c = schema.num_cols, schema.cat_cols
@@ -172,7 +172,7 @@ def _qda_predict_pallas(x_cols, code_cols, lhs, *, schema: FeatureSchema,
                              memory_space=pltpu.VMEM)])
     pred = pl.pallas_call(
         functools.partial(_qda_kernel, schema=schema, n_scorers=n_scorers,
-                          c_cls=c_cls, nseg=nseg, bins=bins, core=core,
+                          c_cls=c_cls, nseg=nseg, bins=bins,
                           pack=pack, chunk=chunk_cols, width=width,
                           tail_base=tail_base, tail_rows=tail_rows),
         grid=(n // block,),

@@ -44,9 +44,14 @@ def load_library() -> ctypes.CDLL:
         stale = True
     if stale:
         del lib
+        # glibc's dlopen caches by (dev, inode) and `g++ -shared -o`
+        # relinks IN PLACE, so a second CDLL on the same path would
+        # return the stale mapping — unlink first to force a new inode
+        os.remove(_LIB_PATH)
         _build()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.dbi_version.restype = ctypes.c_int64
+        assert lib.dbi_version() >= _ABI_VERSION
     lib.dbi_load_csv.restype = ctypes.c_void_p
     lib.dbi_load_csv.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
     lib.dbi_free.argtypes = [ctypes.c_void_p]
@@ -105,10 +110,12 @@ def load_library() -> ctypes.CDLL:
 
 def format_csv_block(cols, is_int, n_threads: int = 0) -> bytes:
     """Format a chunk of columns into CSV text natively (multithreaded
-    snprintf — the write-back half of the out-of-core path; np.savetxt is
-    ~50× slower). cols: list of [m] arrays (any numeric dtype); is_int[c]
-    selects %lld (exact to 2^53) vs %.9g; NaN ⇒ empty field (the loader's
-    null convention)."""
+    to_chars — the write-back half of the out-of-core path; np.savetxt is
+    ~50× slower). cols: list of [m] arrays; is_int[c] selects integer
+    formatting (exact to 2^53) vs float. Float cells are NARROWED TO f32
+    and emitted as the shortest f32 round-trip repr — bit-exact through
+    reload for the pipeline's f32 tables, lossy for genuine f64 input.
+    NaN ⇒ empty field (the loader's null convention)."""
     lib = load_library()
     k = len(cols)
     m = len(cols[0]) if k else 0
