@@ -521,7 +521,7 @@ def bench_mice_delta(schema, n=10_000_000, fracs=(0.01, 0.05, 0.20)):
         idx_c = np.sort(rng.choice(n, k_dirty, replace=False))
         nn = nn.at[1, jnp.asarray(idx_n)].set(True)
         cn = cn.at[0, jnp.asarray(idx_c)].set(True)
-        union_idx, union_valid = build_union_gather([idx_n, idx_c], n, blk)
+        union_idx, union_valid = build_union_gather([idx_n, idx_c], blk)
         jax.block_until_ready((nn, cn, union_idx, union_valid))
 
         def run(iters, xx):
