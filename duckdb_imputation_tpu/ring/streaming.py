@@ -313,6 +313,42 @@ def _fold_chunk(gram, x_num, codes, num_null, cat_null, w, *,
     return gram + g
 
 
+@functools.partial(jax.jit, static_argnames=("ss",), donate_argnums=(0,))
+def _fold_chunk_packed(gram, x_num, codes_i8, null_bits, m, *,
+                       ss: StreamSchema):
+    """_fold_chunk with the host→device payload SHRUNK (measured
+    transfer-bound at ~30 MB/s through this environment's RPC tunnel;
+    any host-attached deployment also pays PCIe for these bytes):
+
+      * codes ride as int8 (gated on every vocab < 127 — the oov code
+        `size` must be representable), widened on device;
+      * the nullable columns' masks ride as ONE uint8 bitmask per row
+        (gated on ≤ 8 nullable columns), unpacked on device — the
+        non-nullable columns' masks are identically False;
+      * the zero-weight tail pad is derived from the scalar row count
+        instead of shipping a f32[n] weight vector.
+
+    34 → 19 bytes/row at the 4-num 2-cat benchmark schema. Bit-identical
+    to _fold_chunk once unpacked."""
+    schema = ss.schema
+    n = (x_num.shape[-1] if schema.num_cols else codes_i8.shape[-1])
+    nb = null_bits[0]
+    num_null = (jnp.stack(
+        [(nb >> ss.nullable_num.index(j)) & 1 if j in ss.nullable_num
+         else jnp.zeros_like(nb)
+         for j in range(schema.num_cols)]).astype(bool)
+        if schema.num_cols else jnp.zeros((0, n), bool))
+    k0 = len(ss.nullable_num)
+    cat_null = (jnp.stack(
+        [(nb >> (k0 + ss.nullable_cat.index(j))) & 1
+         if j in ss.nullable_cat else jnp.zeros_like(nb)
+         for j in range(schema.cat_cols)]).astype(bool)
+        if schema.cat_cols else jnp.zeros((0, n), bool))
+    w = (jnp.arange(n) < m).astype(jnp.float32)
+    return _fold_chunk(gram, x_num, codes_i8.astype(jnp.int32),
+                       num_null, cat_null, w, ss=ss)
+
+
 def _pad_to(a, m):
     pad = m - a.shape[-1]
     if pad == 0:
@@ -350,9 +386,13 @@ def scan_gram(chunk_source, ss: StreamSchema, *,
     gram = (jnp.zeros((p_ext, p_ext), jnp.float32) if rep is None
             else jax.device_put(np.zeros((p_ext, p_ext), np.float32), rep))
 
+    # packed payload gate (see _fold_chunk_packed): int8 codes need every
+    # vocab's oov code < 127, the uint8 bitmask needs ≤ 8 nullable cols
+    packed = (ss.k <= 8
+              and all(s < 127 for s in schema.cat_sizes))
+
     def fold(num, cat, num_null, cat_null, m):
         nonlocal gram
-        w = (np.arange(chunk_rows) < m).astype(np.float32)
         # zero the null cells host-side: _fold_chunk masks them anyway, and
         # raw NaNs must not reach device_put — multihost shardings run a
         # cross-process equality check where NaN != NaN rejects the chunk
@@ -360,6 +400,24 @@ def scan_gram(chunk_source, ss: StreamSchema, *,
             num = np.where(num_null, 0.0, num)
         codes = (schema.encode(cat.T).T.astype(np.int32)
                  if schema.cat_cols else np.zeros((0, chunk_rows), np.int32))
+        if packed:
+            bits = np.zeros((1, chunk_rows), np.uint8)
+            for b, j in enumerate(ss.nullable_num):
+                bits[0] |= num_null[j].astype(np.uint8) << b
+            k0 = len(ss.nullable_num)
+            for b, j in enumerate(ss.nullable_cat):
+                bits[0] |= cat_null[j].astype(np.uint8) << (k0 + b)
+            parts2 = (num, codes.astype(np.int8), bits)
+            if row_shard is not None:
+                args = tuple(jax.device_put(np.ascontiguousarray(a),
+                                            row_shard) for a in parts2) \
+                    + (jax.device_put(np.int32(m), rep),)
+            else:
+                args = tuple(jnp.asarray(a) for a in parts2) \
+                    + (jnp.int32(m),)
+            gram = _fold_chunk_packed(gram, *args, ss=ss)
+            return
+        w = (np.arange(chunk_rows) < m).astype(np.float32)
         if row_shard is not None:
             args = (jax.device_put(np.ascontiguousarray(num), row_shard),
                     jax.device_put(np.ascontiguousarray(codes), row_shard),
