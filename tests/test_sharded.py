@@ -603,3 +603,52 @@ def test_nb_predict_device_matches_host(table):
                                            schema=schema))
     got = np.asarray(labels)[got_idx]
     assert (got == want).mean() > 0.999, (got[:20], want[:20])
+
+
+def test_mice_sharded_fused_checkpoint_resume(tmp_path):
+    """Round-boundary checkpointing on the FUSED sharded kernel: a run
+    chunked per round (kill-and-resume) equals the single-dispatch run —
+    the fused round body folds the GLOBAL round index into its in-kernel
+    noise seed, so chunking must not change the trajectory."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from duckdb_imputation_tpu.mice.sharded_round import run_mice_sharded
+    from duckdb_imputation_tpu.ring.kernels.sigma_fused import fused_block
+    from duckdb_imputation_tpu.table import from_numpy
+
+    rng = np.random.default_rng(33)
+    schema_probe = FeatureSchema(num_cols=3,
+                                 cat_keys=(tuple(range(3)),
+                                           tuple(range(5))))
+    chunk = 128
+    blk = fused_block(schema_probe, chunk)
+    n = 8 * blk
+    cls = rng.integers(0, 3, size=n)
+    z = rng.normal(size=n)
+    num = np.stack([cls * 2.0 + 0.3 * z,
+                    0.7 * cls + 0.2 * rng.normal(size=n),
+                    rng.normal(size=n)], 1).astype(np.float32)
+    cat = np.stack([cls, rng.integers(0, 5, size=n)], 1)
+    nn = np.zeros_like(num, bool)
+    cn = np.zeros_like(cat, bool)
+    nn[rng.random(n) < 0.2, 1] = True
+    cn[rng.random(n) < 0.2, 0] = True
+    mesh = make_mesh()
+    kw = dict(mesh=mesh, kernel="pallas_fused", chunk_cols=chunk,
+              trainer="solve", noise=False)
+
+    with pltpu.force_tpu_interpret_mode():
+        straight = run_mice_sharded(from_numpy(num, cat, nn, cn), iters=3,
+                                    **kw)
+        path = str(tmp_path / "fused.ckpt")
+        run_mice_sharded(from_numpy(num, cat, nn, cn), iters=1,
+                         checkpoint_path=path, **kw)      # "killed"
+        resumed = run_mice_sharded(from_numpy(num, cat, nn, cn), iters=3,
+                                   checkpoint_path=path, **kw)
+
+    np.testing.assert_array_equal(np.asarray(resumed.cat_codes),
+                                  np.asarray(straight.cat_codes))
+    np.testing.assert_allclose(np.asarray(resumed.num_data),
+                               np.asarray(straight.num_data),
+                               rtol=1e-6, atol=1e-6)
